@@ -1,0 +1,37 @@
+"""1-D rotary position embeddings for the time axis.
+
+Equivalent of the reference's `Rotary1D` / `apply_rotations`
+(`dreamer4.py:1604-1659`). Pure functions; frequencies are recomputed at
+trace time (constant-folded by XLA).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rotary_frequencies(dim_head: int, seq_len: int, offset: jax.Array | int = 0, theta: float = 10000.0) -> jax.Array:
+    """-> (seq_len, dim_head) angles, duplicated across the two halves."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, dim_head, 2, dtype=jnp.float32) / dim_head))
+    t = jnp.arange(seq_len, dtype=jnp.float32) + offset
+    freqs = jnp.einsum('i,j->ij', t, inv_freq)
+    return jnp.concatenate([freqs, freqs], axis=-1)
+
+
+def apply_rotations(rotations: jax.Array, t: jax.Array) -> jax.Array:
+    """rotations: (n, d) or (..., n, d); t: (..., h, n, d). When the rotation
+    table is longer than the sequence, the tail is used (KV-cache decode,
+    reference `dreamer4.py:1636-1639`)."""
+    seq_len = t.shape[-2]
+    if rotations.shape[-2] > seq_len:
+        rotations = rotations[..., -seq_len:, :]
+
+    dtype = t.dtype
+    t = t.astype(jnp.float32)
+
+    half = t.shape[-1] // 2
+    x1, x2 = t[..., :half], t[..., half:]
+    rotated_half = jnp.concatenate([-x2, x1], axis=-1)
+
+    out = t * jnp.cos(rotations) + rotated_half * jnp.sin(rotations)
+    return out.astype(dtype)

@@ -1,0 +1,16 @@
+import os
+
+# Tests always run on a virtual 8-device CPU mesh so multi-chip sharding paths
+# are exercised without TPU hardware (SURVEY.md section 4 test strategy).
+#
+# Note: this environment force-registers an `axon` TPU platform at interpreter
+# start (JAX_PLATFORMS=axon via sitecustomize), so the env var is already
+# consumed by the time conftest runs — the platform must be switched through
+# jax.config instead. XLA_FLAGS is still read lazily at CPU-client creation.
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
