@@ -1,0 +1,269 @@
+"""Policy/value learning from experience — PPO / PMPO / SPO.
+
+TPU-native re-design of the reference `learn_from_experience`
+(`dreamer4.py:5893-6305`) as one pure, jittable loss function. Differences
+from the reference that follow from the static-shape design:
+
+- experiences are fixed-size padded buffers with `lens`/`is_truncated`
+  carrying validity; bootstrap nodes are excluded by masks instead of
+  slicing ragged tensors (`dreamer4.py:6084-6107`).
+- EMA return statistics are explicit state threaded in/out (the reference
+  mutates module buffers, `dreamer4.py:5987-6015`); normalization statistics
+  are computed with masked means, which also fixes the reference's
+  per-rank-stats TODO (`dreamer4.py:5999`) — wrap in `jax.lax.pmean` /
+  sharded mean over the data axis when running under pjit.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data.experience import Experience
+from ..ops.scan import calc_gae
+from ..ops.utils import frac_gradient, lens_to_mask, masked_mean, z_score
+from .world_model import DynamicsWorldModel
+
+
+class ReturnStats(NamedTuple):
+    mean: jax.Array
+    var: jax.Array
+
+    @classmethod
+    def create(cls):
+        return cls(mean=jnp.zeros(()), var=jnp.ones(()))
+
+
+class RLLossOutputs(NamedTuple):
+    policy_loss: jax.Array
+    value_loss: jax.Array
+    stats: dict
+    return_stats: ReturnStats
+
+
+def _masked_quantile_clip(x, mask, quantiles):
+    """Clamp x to its masked quantiles (reference `dreamer4.py:5994-5997`)."""
+    big = jnp.where(mask, x, jnp.nan)
+    lo = jnp.nanquantile(big, quantiles[0])
+    hi = jnp.nanquantile(big, quantiles[1])
+    return jnp.clip(x, lo, hi)
+
+
+def rl_losses(
+    model: DynamicsWorldModel,
+    variables: Any,
+    experience: Experience,
+    objective: str = 'ppo',
+    only_learn_policy_value_heads: bool = True,
+    return_stats: ReturnStats | None = None,
+    use_delight_gating: bool | None = None,
+    delight_temperature: float | None = None,
+    normalize_advantages: bool | None = None,
+    eps: float = 1e-6,
+) -> RLLossOutputs:
+    assert objective in ('ppo', 'pmpo', 'spo')
+    use_delight_gating = use_delight_gating if use_delight_gating is not None else model.use_delight_gating
+    delight_temperature = delight_temperature if delight_temperature is not None else model.delight_temperature
+
+    latents = experience.latents
+    b, time = latents.shape[:2]
+
+    rewards = experience.rewards
+    old_values = experience.values
+    old_log_probs = experience.log_probs
+    actions = experience.actions
+    agent_embeds = experience.agent_embed
+    old_action_unembeds = experience.old_action_unembeds
+    step_size = experience.step_size
+
+    assert rewards is not None and old_values is not None and old_log_probs is not None
+    assert actions is not None and step_size is not None
+
+    lens = experience.lens if experience.lens is not None else jnp.full((b,), time)
+    is_truncated = experience.is_truncated if experience.is_truncated is not None else jnp.ones((b,), bool)
+
+    mask_for_gae = lens_to_mask(lens, time)
+    rewards = jnp.where(mask_for_gae, rewards, 0.0)
+    old_values = jnp.where(mask_for_gae, old_values, 0.0)
+
+    # the final (possibly bootstrapped) node is not learned on
+    learnable_lens = lens - is_truncated.astype(lens.dtype)
+    mask = lens_to_mask(learnable_lens, time)
+
+    # continuation masks for GAE from terminals (reference `dreamer4.py:5957-5967`)
+    gae_masks = lens_to_mask(jnp.maximum(lens - 1, 0), time)
+    if experience.terminals is not None:
+        terminals = experience.terminals
+        if terminals.ndim == 1:
+            pos = jnp.maximum(lens - 1, 0)
+            terminals = (jnp.arange(time)[None] == pos[:, None]) & terminals[:, None]
+        gae_masks = gae_masks & ~terminals.astype(bool)
+
+    returns = calc_gae(
+        rewards, old_values,
+        masks=gae_masks.astype(jnp.float32),
+        learn_masks=mask,
+        gamma=model.gae_discount_factor,
+        lam=model.gae_lambda,
+    )
+
+    # ---- return normalization (DreamerV3-style EMA stats)
+    new_return_stats = return_stats if return_stats is not None else ReturnStats.create()
+    if model.keep_reward_ema_stats:
+        assert return_stats is not None
+        clipped = _masked_quantile_clip(returns, mask, model.reward_quantile_filter)
+        r_mean = masked_mean(clipped, mask)
+        r_var = masked_mean(jnp.square(clipped - r_mean), mask)
+        decay = 1.0 - model.reward_ema_decay
+        new_mean = return_stats.mean + decay * (r_mean - return_stats.mean)
+        new_var = return_stats.var + decay * (r_var - return_stats.var)
+        new_return_stats = ReturnStats(new_mean, new_var)
+
+        std = jnp.sqrt(jnp.maximum(new_var, 1e-5))
+        advantage = (returns - new_mean) / std - (old_values - new_mean) / std
+    else:
+        advantage = returns - old_values
+
+    if normalize_advantages is None:
+        normalize_advantages = (model.normalize_advantages
+                                if model.normalize_advantages is not None
+                                else objective != 'pmpo')
+    if normalize_advantages:
+        advantage = z_score(advantage, mask=mask, eps=eps)
+
+    # ---- replay forward if agent embeds were not stored
+    if agent_embeds is None:
+        _, (embeds, _) = model.apply(
+            variables,
+            latents=latents,
+            signal_levels=model.max_steps - 1,
+            step_sizes=step_size,
+            rewards=rewards,
+            discrete_actions=actions.discrete,
+            continuous_actions=actions.continuous,
+            proprio=experience.proprio,
+            latent_is_noised=True,
+            is_training=False,
+            return_pred_only=True,
+            return_intermediates=True,
+            rngs={'sample': jax.random.PRNGKey(0)},
+        )
+        agent_embeds = embeds.agent[:, :, experience.agent_index]
+
+    if only_learn_policy_value_heads:
+        agent_embeds = jax.lax.stop_gradient(agent_embeds)
+
+    # =================================================================
+    # policy loss
+    # =================================================================
+    policy_agent_embeds = frac_gradient(agent_embeds, model.agent_policy_gradient_frac)
+    policy_embed = model.apply(variables, policy_agent_embeds,
+                               method=lambda m, e: m.policy_head(e))
+
+    lp, entropies = model.apply(
+        variables, policy_embed,
+        method=lambda m, e: m.action_embedder.log_probs(
+            e, discrete_targets=actions.discrete, continuous_targets=actions.continuous,
+            pred_head_index=0, return_entropies=True, soft_validate_range=True))
+
+    def safe_cat(pair):
+        parts = [p for p in pair if p is not None]
+        return jnp.concatenate(parts, axis=-1) if parts else None
+
+    log_probs = safe_cat(lp).sum(axis=-1)
+    old_lp = safe_cat(old_log_probs).sum(axis=-1)
+    entropy = safe_cat(entropies)
+
+    if use_delight_gating:
+        # Delight gate (Osband; reference `dreamer4.py:6119-6120`)
+        delight_gate = jax.lax.stop_gradient(
+            jax.nn.sigmoid((-log_probs * advantage) / delight_temperature))
+
+    if objective == 'pmpo':
+        gated_lp = log_probs * delight_gate if use_delight_gating else log_probs
+        pos = (advantage >= 0.0) & mask
+        neg = (advantage < 0.0) & mask
+
+        scaled = gated_lp * jnp.abs(jnp.tanh(advantage))
+        pos_loss = jnp.sum(jnp.where(pos, scaled, 0.0))
+        neg_loss = jnp.sum(jnp.where(neg, scaled, 0.0))
+        num_adv = jnp.maximum(jnp.sum(mask), 1.0)
+
+        alpha = model.pmpo_pos_to_neg_weight
+        policy_loss = -alpha * (pos_loss - neg_loss) / num_adv
+
+        if model.pmpo_kl_div_loss_weight > 0.0 and old_action_unembeds is not None:
+            new_unembeds = model.apply(
+                variables, policy_embed,
+                method=lambda m, e: m.action_embedder.unembed(e, pred_head_index=0))
+            kl_in, kl_tgt = new_unembeds, old_action_unembeds
+            if model.pmpo_reverse_kl:
+                kl_in, kl_tgt = kl_tgt, kl_in
+            d_kl, c_kl = model.apply(variables, kl_in, kl_tgt,
+                                     method=lambda m, a, bb: m.action_embedder.kl_div(a, bb))
+            kl_loss = 0.0
+            if d_kl is not None:
+                kl_loss = kl_loss + masked_mean(d_kl, mask)
+            if c_kl is not None:
+                kl_loss = kl_loss + masked_mean(c_kl, mask)
+            policy_loss = policy_loss + kl_loss * model.pmpo_kl_div_loss_weight
+
+    elif objective == 'spo':
+        ratio = jnp.exp(log_probs - old_lp)
+        loss = -(ratio * advantage
+                 - (jnp.abs(advantage) * jnp.square(ratio - 1.0)) / (2.0 * model.ppo_eps_clip))
+        if use_delight_gating:
+            loss = loss * delight_gate
+        policy_loss = masked_mean(loss, mask)
+
+    else:  # ppo
+        ratio = jnp.exp(log_probs - old_lp)
+        clipped = jnp.clip(ratio, 1.0 - model.ppo_eps_clip, 1.0 + model.ppo_eps_clip)
+        loss = -jnp.minimum(ratio * advantage, clipped * advantage)
+        if use_delight_gating:
+            loss = loss * delight_gate
+        policy_loss = masked_mean(loss, mask)
+
+    entropy_loss = masked_mean(-jnp.sum(entropy, axis=-1), mask)
+    total_policy_loss = policy_loss + entropy_loss * model.policy_entropy_weight
+
+    # =================================================================
+    # value loss (distributional CE against two-hot/HL-Gauss return bins)
+    # =================================================================
+    value_agent_embeds = frac_gradient(agent_embeds, model.agent_value_gradient_frac)
+
+    if experience.critic_state is not None and model.dim_critic_state is not None:
+        critic_embeds = model.apply(variables, experience.critic_state,
+                                    method=lambda m, s: m.critic_state_embedder(s))
+        value_agent_embeds = value_agent_embeds + critic_embeds
+
+    value_bins = model.apply(variables, value_agent_embeds,
+                             method=lambda m, e: m.value_head(e))
+    values = model.value_encoder.decode(value_bins)
+
+    return_bins = model.value_encoder.encode(jax.lax.stop_gradient(returns))
+    value_loss_t = -jnp.sum(return_bins * jax.nn.log_softmax(value_bins, axis=-1), axis=-1)
+
+    if model.clip_values:
+        clipped_values = old_values + jnp.clip(values - old_values, -model.value_clip, model.value_clip)
+        clipped_bins = model.value_encoder.encode(clipped_values)
+        clipped_loss = -jnp.sum(return_bins * jnp.log(jnp.maximum(clipped_bins, 1e-20)), axis=-1)
+        value_loss_t = jnp.maximum(value_loss_t, clipped_loss)
+
+    value_loss = masked_mean(value_loss_t, mask)
+
+    stats = dict(
+        mean_return=masked_mean(returns, mask),
+        mean_advantage=masked_mean(advantage, mask),
+        mean_value=masked_mean(values, mask),
+        entropy=masked_mean(jnp.sum(entropy, axis=-1), mask),
+        approx_kl=masked_mean(old_lp - log_probs, mask),
+    )
+
+    return RLLossOutputs(
+        policy_loss=total_policy_loss,
+        value_loss=value_loss,
+        stats=stats,
+        return_stats=new_return_stats,
+    )

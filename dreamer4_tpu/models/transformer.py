@@ -1,0 +1,321 @@
+"""Axial space-time transformer — the shared trunk of the tokenizer
+encoder/decoder and the dynamics world model.
+
+Re-design of the reference `AxialSpaceTimeTransformer`
+(`dreamer4.py:2762-3267`) for XLA:
+
+- Token layout is (b, t, s, d) with s packing
+  [modality spatial tokens][optional aug token][special tokens].
+- Every `time_block_every`-th layer attends over time (causal, rotary,
+  KV-cacheable, batch folded to b*s); other layers attend over space
+  (bidirectional, special-token masking, batch folded to b*t).
+- The decode cache is a typed pytree of fixed-size `KVCache` buffers plus a
+  token counter, so one compiled step serves the whole autoregressive rollout
+  (the reference instead grows `torch.cat` caches across python loops,
+  `dreamer4.py:2949-2963`).
+- Options carried over: learned value residuals, per-head output gates,
+  QK norm, attention pools over layer hiddens, per-time-block GRU, final
+  special cross-attend. (MoT / H-Net / spatial modules land in later stages.)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.attention import Attention, AttentionPool, FeedForward, KVCache
+from ..nn.norms import RMSNorm
+from ..ops.masks import build_attend_mask
+from ..ops.rotary import rotary_frequencies
+
+
+class TransformerCache(NamedTuple):
+    kv: tuple          # one KVCache per time layer
+    token_count: jax.Array
+    rnn: tuple | None  # one GRU carry per time layer when rnn_time
+
+
+class TransformerOutputs(NamedTuple):
+    tokens: jax.Array
+    cache: TransformerCache | None
+    normed_time_inputs: jax.Array | None   # (num_time_layers, b*s, t, d)
+    normed_space_inputs: jax.Array | None  # (num_space_layers, b*t, s, d)
+    layer_hiddens: list
+    token_count: jax.Array | int
+
+
+def _to_time_major(x):
+    # (b, t, s, ...) -> (b*s, t, ...)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(-1, *x.shape[2:]), x.shape[:2]
+
+
+def _from_time_major(x, bs_shape):
+    x = x.reshape(*bs_shape, *x.shape[1:])
+    return jnp.swapaxes(x, 1, 2)
+
+
+def _to_space_major(x):
+    # (b, t, s, ...) -> (b*t, s, ...)
+    return x.reshape(-1, *x.shape[2:]), x.shape[:2]
+
+
+def _from_space_major(x, bt_shape):
+    return x.reshape(*bt_shape, *x.shape[1:])
+
+
+class GRUTimeLayer(nn.Module):
+    """Normed GRU over the time axis (reference `GRULayer`, `dreamer4.py:2120-2139`)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, carry=None):  # x: (B, t, d)
+        x = RMSNorm(name='norm')(x)
+        if carry is None:
+            carry = jnp.zeros((x.shape[0], self.dim), dtype=x.dtype)
+        rnn = nn.RNN(nn.GRUCell(self.dim), return_carry=True, name='gru')
+        carry, out = rnn(x, initial_carry=carry)
+        return out, carry
+
+
+class AxialSpaceTimeTransformer(nn.Module):
+    dim: int
+    depth: int
+    attn_heads: int = 8
+    attn_dim_head: int = 64
+    query_heads: int | None = None
+    attn_softclamp_value: float | None = 50.0
+    time_block_every: int = 4
+    num_special_tokens: int = 1
+    special_attend_only_itself: bool = False
+    full_spatial_attn: bool = False
+    final_norm: bool = True
+    value_residual: bool = True
+    rnn_time: bool = False
+    use_attn_pool: bool = True
+    ff_expansion_factor: float = 4.0
+    ff_activation: str = 'silu'
+    gate_values: bool = True
+    rmsnorm_query: bool = False
+    rmsnorm_key: bool = True
+    belief_attn: bool = True
+    dtype: jnp.dtype | None = None
+
+    @property
+    def is_time_layer(self) -> tuple[bool, ...]:
+        return tuple((i + 1) % self.time_block_every == 0 for i in range(self.depth))
+
+    @property
+    def num_time_layers(self) -> int:
+        return sum(self.is_time_layer)
+
+    def init_cache(self, batch: int, space_len: int, max_time: int, dtype=jnp.float32) -> TransformerCache:
+        """Preallocate decode cache buffers (pure, no params needed)."""
+        kv = tuple(
+            KVCache.create(batch * space_len, self.attn_heads, max_time, self.attn_dim_head, dtype=dtype)
+            for _ in range(self.num_time_layers)
+        )
+        rnn = None
+        if self.rnn_time:
+            rnn = tuple(jnp.zeros((batch * space_len, self.dim), dtype=dtype) for _ in range(self.num_time_layers))
+        return TransformerCache(kv=kv, token_count=jnp.zeros((), jnp.int32), rnn=rnn)
+
+    @nn.compact
+    def __call__(
+        self,
+        tokens: jax.Array,  # (b, t, s, d)
+        cache: TransformerCache | None = None,
+        max_time: int | None = None,
+        return_intermediates: bool = False,
+    ):
+        b, t_full, s, d = tokens.shape
+
+        # `cache` passed in -> continuing an autoregressive decode.
+        # `max_time` (static) with no cache -> parallel pass that also builds a
+        # fresh cache for subsequent decode (the reference instead returns the
+        # full k/v stack from intermediates, `dreamer4.py:3255-3265`).
+        continuing = cache is not None
+        if cache is None and max_time is not None:
+            cache = self.init_cache(b, s, max_time, dtype=tokens.dtype)
+        has_cache = cache is not None
+
+        token_count = cache.token_count if has_cache else jnp.zeros((), jnp.int32)
+
+        # when continuing, only the newest frame is processed (reference
+        # `dreamer4.py:2956-2962`); earlier frames pass through untouched
+        past_tokens = tokens[:, :0]
+        if continuing and t_full > 1:
+            past_tokens, tokens = tokens[:, :-1], tokens[:, -1:]
+        t = tokens.shape[1]
+
+        num_spatial_special = 0 if self.full_spatial_attn else self.num_special_tokens
+
+        # masks — static shapes, traced causal offset
+        space_mask = build_attend_mask(
+            s, s,
+            num_special=num_spatial_special,
+            block_size_per_special=s,
+            special_attend_only_itself=self.special_attend_only_itself,
+        )
+        if has_cache:
+            k_len = cache.kv[0].k.shape[-2] if self.num_time_layers > 0 else t
+            j = jnp.arange(k_len)
+            i = jnp.arange(t)
+            time_mask = j[None, :] <= (token_count + i[:, None])
+        else:
+            time_mask = build_attend_mask(t, t, causal=True)
+
+        time_rotary = rotary_frequencies(self.attn_dim_head, t, offset=token_count)
+
+        # learned value residual, projected once from the input (reference
+        # `dreamer4.py:2814-2825`)
+        residual_values = None
+        if self.value_residual:
+            rv = RMSNorm(name='value_residual_norm')(tokens)
+            rv = nn.Dense(self.attn_heads * self.attn_dim_head, use_bias=False, dtype=self.dtype,
+                          name='to_value_residual')(rv)
+            residual_values = rv.reshape(b, t, s, self.attn_heads, self.attn_dim_head)
+
+        attn_common = dict(
+            dim=self.dim,
+            heads=self.attn_heads,
+            dim_head=self.attn_dim_head,
+            query_heads=self.query_heads,
+            softclamp_value=self.attn_softclamp_value,
+            gate_values=self.gate_values,
+            rmsnorm_query=self.rmsnorm_query,
+            rmsnorm_key=self.rmsnorm_key,
+            belief_attn=self.belief_attn,
+            dtype=self.dtype,
+        )
+
+        new_kv_caches = []
+        new_rnn_carries = []
+        normed_time_inputs = []
+        normed_space_inputs = []
+
+        layer_hiddens = [tokens]
+        hiddens = []
+
+        time_layer_idx = 0
+        for i, layer_is_time in enumerate(self.is_time_layer):
+            is_last = i == self.depth - 1
+
+            # optional GRU on time blocks
+            if layer_is_time and self.rnn_time:
+                x_tm, bs_shape = _to_time_major(tokens)
+                carry_in = cache.rnn[time_layer_idx] if (has_cache and cache.rnn is not None) else None
+                out_tm, carry = GRUTimeLayer(self.dim, name=f'rnn_{i}')(x_tm, carry_in)
+                tokens = tokens + _from_time_major(out_tm, bs_shape)
+                new_rnn_carries.append(carry)
+                layer_hiddens.append(tokens)
+
+            # attention block
+            if layer_is_time:
+                x_tm, bs_shape = _to_time_major(tokens)
+                rv_tm = _to_time_major(residual_values)[0] if residual_values is not None else None
+                layer_cache = cache.kv[time_layer_idx] if has_cache else None
+                attn_out = Attention(**attn_common, value_residual=self.value_residual, name=f'attn_{i}')(
+                    x_tm,
+                    kv_cache=layer_cache,
+                    rotary=time_rotary,
+                    mask=time_mask,
+                    residual_values=rv_tm,
+                )
+                tokens = tokens + _from_time_major(attn_out.out, bs_shape)
+                if attn_out.cache is not None:
+                    new_kv_caches.append(attn_out.cache)
+                normed_time_inputs.append(attn_out.normed_inputs)
+                time_layer_idx += 1
+            else:
+                x_sm, bt_shape = _to_space_major(tokens)
+                rv_sm = _to_space_major(residual_values)[0] if residual_values is not None else None
+                attn_out = Attention(**attn_common, value_residual=self.value_residual, name=f'attn_{i}')(
+                    x_sm,
+                    mask=space_mask,
+                    residual_values=rv_sm,
+                )
+                tokens = tokens + _from_space_major(attn_out.out, bt_shape)
+                normed_space_inputs.append(attn_out.normed_inputs)
+
+            layer_hiddens.append(tokens)
+
+            # feedforward
+            tokens = tokens + FeedForward(
+                dim=self.dim,
+                expansion_factor=self.ff_expansion_factor,
+                activation=self.ff_activation,
+                dtype=self.dtype,
+                name=f'ff_{i}',
+            )(tokens)
+
+            layer_hiddens.append(tokens)
+            hiddens.append(tokens)
+
+            # per-layer attention pool over the hidden stack (reference
+            # `dreamer4.py:2870-2878`)
+            if self.use_attn_pool and not is_last:
+                tokens = tokens + AttentionPool(self.dim, dtype=self.dtype, name=f'attn_pool_{i}')(
+                    tokens, layer_hiddens
+                )
+
+        # final cross-attend: special tokens read the spatial tokens once
+        # (reference `dreamer4.py:3225-3238`)
+        should_special_cross_attend = (
+            self.num_special_tokens > 0
+            and not self.special_attend_only_itself
+            and not self.full_spatial_attn
+        )
+        if should_special_cross_attend:
+            ns = self.num_special_tokens
+            non_special, special = tokens[:, :, :-ns], tokens[:, :, -ns:]
+
+            sp_sm, bt_shape = _to_space_major(special)
+            nsp_sm, _ = _to_space_major(non_special)
+            cross = Attention(**attn_common, value_residual=False, pre_context_rmsnorm=True,
+                              name='final_special_cross_attn')(sp_sm, context=nsp_sm)
+            special = special + _from_space_major(cross.out, bt_shape)
+            special = special + FeedForward(
+                dim=self.dim,
+                expansion_factor=self.ff_expansion_factor,
+                activation=self.ff_activation,
+                dtype=self.dtype,
+                name='final_special_ff',
+            )(special)
+            tokens = jnp.concatenate([non_special, special], axis=2)
+
+        if self.use_attn_pool:
+            tokens = tokens + AttentionPool(self.dim, dtype=self.dtype, name='final_attn_pool')(
+                tokens, layer_hiddens
+            )
+
+        if self.final_norm:
+            tokens = RMSNorm(name='final_norm')(tokens)
+
+        out = tokens
+        if continuing and past_tokens.shape[1] > 0:
+            out = jnp.concatenate([past_tokens, out], axis=1)
+
+        new_cache = None
+        if has_cache:
+            new_cache = TransformerCache(
+                kv=tuple(new_kv_caches),
+                token_count=token_count + t,
+                rnn=tuple(new_rnn_carries) if self.rnn_time else None,
+            )
+
+        if not return_intermediates:
+            return out, new_cache
+
+        outputs = TransformerOutputs(
+            tokens=out,
+            cache=new_cache,
+            normed_time_inputs=jnp.stack(normed_time_inputs) if normed_time_inputs else None,
+            normed_space_inputs=jnp.stack(normed_space_inputs) if normed_space_inputs else None,
+            layer_hiddens=layer_hiddens,
+            token_count=token_count + t,
+        )
+        return out, outputs

@@ -1,0 +1,252 @@
+"""Attention module with static-shape KV caching.
+
+TPU-native re-design of the reference `Attention` (`dreamer4.py:1887-2075`):
+same capabilities — GQA, per-head sigmoid output gates, key-only QK-RMSNorm,
+learned value-residual mixing, BeliefFormer output-orthogonalization, logit
+softclamp, rotary — but the KV cache is a fixed-size preallocated buffer with
+a write index instead of a growing `torch.cat`. That keeps every decode step
+the same compiled program (one XLA executable for the whole imagination
+rollout) and lets the cache live in HBM across `lax.scan`/`fori_loop` steps.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import naive_attend
+from ..ops.utils import l2norm
+from .norms import MultiHeadRMSNorm, RMSNorm
+
+
+class KVCache(NamedTuple):
+    """Preallocated cache for one attention layer.
+
+    k, v: (B, heads, max_len, dim_head); length: scalar int32 write index.
+    """
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array
+
+    @classmethod
+    def create(cls, batch: int, heads: int, max_len: int, dim_head: int, dtype=jnp.float32):
+        return cls(
+            k=jnp.zeros((batch, heads, max_len, dim_head), dtype=dtype),
+            v=jnp.zeros((batch, heads, max_len, dim_head), dtype=dtype),
+            length=jnp.zeros((), dtype=jnp.int32),
+        )
+
+    def append(self, k_new: jax.Array, v_new: jax.Array) -> 'KVCache':
+        start = self.length
+        k = jax.lax.dynamic_update_slice(self.k, k_new.astype(self.k.dtype), (0, 0, start, 0))
+        v = jax.lax.dynamic_update_slice(self.v, v_new.astype(self.v.dtype), (0, 0, start, 0))
+        return KVCache(k, v, start + k_new.shape[-2])
+
+
+class AttentionOut(NamedTuple):
+    out: jax.Array
+    cache: KVCache | None
+    normed_inputs: jax.Array
+
+
+class Attention(nn.Module):
+    """See module docstring. Operates on (B, n, d) token blocks; the axial
+    transformer supplies B = b*s (time) or b*t (space) plus masks/rotary."""
+
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+    query_heads: int | None = None
+    dim_kv_input: int | None = None
+    pre_rmsnorm: bool = True
+    pre_context_rmsnorm: bool = False
+    gate_values: bool = True
+    rmsnorm_query: bool = False
+    rmsnorm_key: bool = True
+    value_residual: bool = True
+    belief_attn: bool = True
+    softclamp_value: float | None = 50.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        tokens: jax.Array,                    # (B, n, d)
+        context: jax.Array | None = None,     # (B, m, d) for cross attention
+        kv_cache: KVCache | None = None,
+        rotary: jax.Array | None = None,      # (n_abs, dim_head) angles
+        mask: jax.Array | None = None,        # (n, j) or broadcastable
+        residual_values: jax.Array | None = None,  # (B, n, heads, dim_head)
+    ) -> AttentionOut:
+        q_heads = self.query_heads if self.query_heads is not None else self.heads
+        assert q_heads >= self.heads and q_heads % self.heads == 0
+
+        dense = lambda feats, name: nn.Dense(feats, use_bias=False, dtype=self.dtype, name=name)
+
+        if self.pre_rmsnorm:
+            tokens = RMSNorm(name='norm')(tokens)
+        normed_inputs = tokens
+
+        has_context = context is not None
+        if has_context:
+            if self.pre_context_rmsnorm:
+                context = RMSNorm(name='norm_context')(context)
+        else:
+            context = tokens
+
+        q = dense(q_heads * self.dim_head, 'to_q')(tokens)
+        k = dense(self.heads * self.dim_head, 'to_k')(context)
+        v = dense(self.heads * self.dim_head, 'to_v')(context)
+
+        split = lambda t, h: t.reshape(*t.shape[:-1], h, self.dim_head).swapaxes(-3, -2)
+        q, k, v = split(q, q_heads), split(k, self.heads), split(v, self.heads)  # (B, h, n, d)
+
+        # learned value-residual mixing (reference `dreamer4.py:1945-1949, 2005-2012`)
+        if residual_values is not None:
+            assert self.value_residual
+            mix = jax.nn.sigmoid(nn.Dense(self.heads, dtype=self.dtype, name='to_value_residual_mix')(tokens))
+            mix = mix.swapaxes(-1, -2)[..., None]  # (B, h, n, 1)
+            rv = residual_values.swapaxes(-3, -2)  # (B, h, n, d)
+            v = v + (rv - v) * mix
+
+        if self.rmsnorm_query:
+            q = MultiHeadRMSNorm(self.dim_head, q_heads, name='q_norm')(q)
+        if self.rmsnorm_key:
+            k = MultiHeadRMSNorm(self.dim_head, self.heads, name='k_norm')(k)
+
+        if rotary is not None:
+            from ..ops.rotary import apply_rotations
+
+            q = apply_rotations(rotary, q)
+            k = apply_rotations(rotary, k)
+
+        # belief values are the *current block's* values (pre-cache)
+        if self.belief_attn and not has_context:
+            v_for_belief = v
+
+        new_cache = None
+        if kv_cache is not None:
+            new_cache = kv_cache.append(k, v)
+            k, v = new_cache.k, new_cache.v
+
+        out = naive_attend(q, k, v, mask=mask, softclamp_value=self.softclamp_value)
+
+        # BeliefFormer: remove the component of out parallel to the values
+        # (reference `dreamer4.py:2045-2054`)
+        if self.belief_attn and not has_context:
+            v_normed = l2norm(v_for_belief)
+            if q_heads > self.heads:
+                v_normed = jnp.repeat(v_normed, q_heads // self.heads, axis=-3)
+            parallel = jnp.sum(out * v_normed, axis=-1, keepdims=True) * v_normed
+            out = out - parallel
+
+        if self.gate_values:
+            gates = jax.nn.sigmoid(nn.Dense(q_heads, use_bias=False, dtype=self.dtype, name='to_gates')(tokens))
+            out = out * gates.swapaxes(-1, -2)[..., None]
+
+        out = out.swapaxes(-3, -2).reshape(*out.shape[:-3], -1, q_heads * self.dim_head)
+        out = dense(self.dim, 'to_out')(out)
+
+        return AttentionOut(out, new_cache, normed_inputs)
+
+
+class FeedForward(nn.Module):
+    """Pre-RMSNorm (GLU) feedforward (reference `dreamer4.py:2079-2116`)."""
+
+    dim: int
+    expansion_factor: float = 4.0
+    activation: str = 'silu'
+    use_glu: bool | None = None
+    pre_rmsnorm: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        from .activations import get_activation
+
+        act = get_activation(self.activation)
+        use_glu = self.use_glu if self.use_glu is not None else self.activation in ('silu', 'gelu')
+        dim_inner = int(self.dim * self.expansion_factor * (2 / 3 if use_glu else 1))
+
+        if self.pre_rmsnorm:
+            x = RMSNorm(name='norm')(x)
+
+        x = nn.Dense(dim_inner * (2 if use_glu else 1), dtype=self.dtype, name='proj_in')(x)
+        if use_glu:
+            x, gates = jnp.split(x, 2, axis=-1)
+            x = x * act(gates)
+        else:
+            x = act(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name='proj_out')(x)
+
+
+class AttentionPool(nn.Module):
+    """Each token cross-attends over the stack of its own per-layer hiddens
+    ('attention residuals', reference `dreamer4.py:2143-2177`)."""
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 64
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, hiddens):
+        # x: (..., d); hiddens: list of (..., d) with identical shapes
+        context = jnp.stack(hiddens, axis=-2)            # (..., L, d)
+        lead_shape = x.shape[:-1]
+        queries = x.reshape(-1, 1, x.shape[-1])
+        context = context.reshape(-1, context.shape[-2], context.shape[-1])
+
+        out = Attention(
+            dim=self.dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            gate_values=True,
+            value_residual=False,
+            belief_attn=False,
+            pre_rmsnorm=True,
+            pre_context_rmsnorm=True,
+            dtype=self.dtype,
+            name='attn',
+        )(queries, context=context).out
+
+        return out.reshape(*lead_shape, x.shape[-1])
+
+
+class LearnedQueriesAttentionPool(nn.Module):
+    """Perceiver-style resampler (reference `dreamer4.py:2179-2210`), used to
+    convert between latent-token and spatial-token counts."""
+
+    num_queries: int
+    dim: int
+    dim_kv_input: int | None = None
+    heads: int = 8
+    dim_head: int = 64
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):  # (..., n, d_in) -> (..., num_queries, dim)
+        lead_shape = x.shape[:-2]
+        x = x.reshape(-1, x.shape[-2], x.shape[-1])
+
+        queries = self.param('queries', nn.initializers.normal(1e-2), (self.num_queries, self.dim))
+        queries = jnp.broadcast_to(queries, (x.shape[0], self.num_queries, self.dim))
+
+        out = Attention(
+            dim=self.dim,
+            dim_kv_input=self.dim_kv_input,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            gate_values=True,
+            value_residual=False,
+            belief_attn=False,
+            pre_rmsnorm=True,
+            pre_context_rmsnorm=True,
+            dtype=self.dtype,
+            name='attn',
+        )(queries, context=x).out
+
+        return out.reshape(*lead_shape, self.num_queries, self.dim)

@@ -37,9 +37,11 @@ class MLP(nn.Module):
         return nn.Dense(self.dim_out, use_bias=self.final_bias)(x)
 
 
-def create_mlp(dim: int, depth: int, dim_out: int, activation='silu', use_rmsnorm: bool = True) -> MLP:
+def create_mlp(dim: int, depth: int, dim_out: int, activation='silu', use_rmsnorm: bool = True,
+               name: str | None = None) -> MLP:
     """Normed MLP factory matching x_mlps_pytorch.normed_mlp.create_mlp usage."""
-    return MLP(hidden_dims=(dim,) * depth, dim_out=dim_out, activation=activation, use_rmsnorm=use_rmsnorm)
+    return MLP(hidden_dims=(dim,) * depth, dim_out=dim_out, activation=activation,
+               use_rmsnorm=use_rmsnorm, name=name)
 
 
 class EnsembleHead(nn.Module):

@@ -70,3 +70,29 @@ def sigreg(
 
     err = jnp.square(jnp.abs(ecf - exp_f)) * exp_f
     return jnp.mean(jnp.trapezoid(err, t, axis=-1))
+
+
+def decorrelation_loss(
+    key: jax.Array,
+    x: jax.Array,              # (..., d) token features (e.g. normed attn inputs)
+    sample_frac: float = 0.25,
+) -> jax.Array:
+    """Feature-decorrelation auxiliary loss (capability match for the
+    reference's vit_pytorch `DecorrelationLoss`, used at `dreamer4.py:3998-4003,
+    4534-4539`): sample a fraction of token rows, standardize features, and
+    penalize squared off-diagonal correlations."""
+    d = x.shape[-1]
+    rows = x.reshape(-1, d)
+    n = rows.shape[0]
+    num_sampled = max(2, int(n * sample_frac))
+
+    idx = jax.random.permutation(key, n)[:num_sampled]
+    sampled = rows[idx]
+
+    sampled = sampled - jnp.mean(sampled, axis=0, keepdims=True)
+    std = jnp.sqrt(jnp.mean(jnp.square(sampled), axis=0, keepdims=True) + 1e-6)
+    sampled = sampled / std
+
+    corr = (sampled.T @ sampled) / num_sampled
+    off_diag = corr - jnp.diag(jnp.diag(corr))
+    return jnp.mean(jnp.square(off_diag))

@@ -1,0 +1,321 @@
+"""Trainers — jit-compiled train steps plus thin host loops.
+
+TPU-native equivalents of the reference trainers (`trainers.py:419-1727`):
+- VideoTokenizerTrainer   -> tokenizer_train_step + TokenizerTrainer loop
+- BehaviorCloneTrainer    -> world_model_train_step + BehaviorCloneTrainer
+- DreamTrainer            -> dream_update (generate -> rl_losses -> head update)
+- SimTrainer              -> SimTrainer (interact -> combine -> minibatch updates)
+
+Where the reference wraps torch DDP via Accelerate (`trainers.py:466-469`),
+these steps are pure functions: run them under `jax.jit` with a Mesh and
+data-sharded batches and GSPMD inserts the gradient collectives.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.experience import Experience
+from ..models.generate import generate
+from ..models.rl import ReturnStats, rl_losses
+from ..models.tokenizer import VideoTokenizer
+from ..models.world_model import DynamicsWorldModel
+from .ema import update_ema
+from .optim import muon_adam_atan2
+
+
+class TrainState(NamedTuple):
+    params: Any
+    state: Any            # linen 'state' collection (loss normalizers etc)
+    opt_state: Any
+    ema_params: Any | None
+    step: jax.Array
+
+
+def create_train_state(variables, tx, with_ema: bool = False) -> TrainState:
+    params = variables['params']
+    return TrainState(
+        params=params,
+        state=variables.get('state', {}),
+        opt_state=tx.init(params),
+        ema_params=params if with_ema else None,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------- tokenizer
+
+def make_tokenizer_train_step(model: VideoTokenizer, tx, ema_decay: float = 0.999):
+    @jax.jit
+    def train_step(ts: TrainState, video, time_lens, key):
+        def loss_fn(params):
+            (loss, interm), new_vars = model.apply(
+                {'params': params, 'state': ts.state},
+                video, time_lens=time_lens, return_intermediates=True,
+                rngs={'sample': key}, mutable=['state'])
+            return loss, (new_vars.get('state', {}), interm.losses)
+
+        (loss, (new_state, losses)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
+        updates, new_opt_state = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        new_ema = (update_ema(ts.ema_params, new_params, ema_decay)
+                   if ts.ema_params is not None else None)
+        new_ts = TrainState(new_params, new_state, new_opt_state, new_ema, ts.step + 1)
+        return new_ts, loss, losses
+
+    return train_step
+
+
+# --------------------------------------------------------------- dynamics
+
+def make_world_model_train_step(model: DynamicsWorldModel, tx, ema_decay: float = 0.999):
+    @partial(jax.jit, static_argnames=('shortcut_train',))
+    def train_step(ts: TrainState, batch: dict, key, shortcut_train: bool):
+        def loss_fn(params):
+            (loss, losses, _), new_vars = model.apply(
+                {'params': params, 'state': ts.state},
+                latents=batch['latents'],
+                rewards=batch.get('rewards'),
+                terminals=batch.get('terminals'),
+                discrete_actions=batch.get('discrete_actions'),
+                continuous_actions=batch.get('continuous_actions'),
+                proprio=batch.get('proprio'),
+                lens=batch.get('lens'),
+                tasks=batch.get('tasks'),
+                shortcut_train=shortcut_train,
+                return_intermediates=True,
+                rngs={'sample': key}, mutable=['state'])
+            return loss, (new_vars.get('state', {}), losses)
+
+        (loss, (new_state, losses)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
+        updates, new_opt_state = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        new_ema = (update_ema(ts.ema_params, new_params, ema_decay)
+                   if ts.ema_params is not None else None)
+        new_ts = TrainState(new_params, new_state, new_opt_state, new_ema, ts.step + 1)
+        return new_ts, loss, losses
+
+    return train_step
+
+
+# ---------------------------------------------------------------------- RL
+
+def rl_param_labels(params, model: DynamicsWorldModel) -> Any:
+    """'policy' for policy-head + action unembeds, 'value' for the value head,
+    'frozen' for everything else (heads-only RL, reference
+    `dreamer4.py:5343-5363`)."""
+    def label(path, x):
+        top = path[0].key if hasattr(path[0], 'key') else str(path[0])
+        if top == 'policy_head':
+            return 'policy'
+        if top == 'value_head':
+            return 'value'
+        if top == 'action_embedder':
+            name = path[1].key if len(path) > 1 and hasattr(path[1], 'key') else ''
+            if 'unembed' in name:
+                return 'policy'
+        if top == 'critic_state_embedder':
+            return 'value'
+        return 'frozen'
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_rl_optimizer(model: DynamicsWorldModel, policy_lr=1e-4, value_lr=1e-4):
+    return lambda params: optax.multi_transform(
+        {'policy': optax.adamw(policy_lr),
+         'value': optax.adamw(value_lr),
+         'frozen': optax.set_to_zero()},
+        rl_param_labels(params, model),
+    )
+
+
+class RLState(NamedTuple):
+    params: Any
+    opt_state: Any
+    return_stats: ReturnStats
+    step: jax.Array
+
+
+def make_rl_update_step(model: DynamicsWorldModel, tx, objective: str = 'ppo'):
+    @jax.jit
+    def update_step(rl_state: RLState, experience: Experience):
+        def loss_fn(params):
+            out = rl_losses(model, {'params': params}, experience,
+                            objective=objective,
+                            return_stats=rl_state.return_stats)
+            return out.policy_loss + out.value_loss, out
+
+        (total, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(rl_state.params)
+        updates, new_opt_state = tx.update(grads, rl_state.opt_state, rl_state.params)
+        new_params = optax.apply_updates(rl_state.params, updates)
+        return RLState(new_params, new_opt_state, out.return_stats, rl_state.step + 1), out
+
+    return update_step
+
+
+# --------------------------------------------------------------- dream loop
+
+class DreamTrainer:
+    """RL purely in imagination (reference `DreamTrainer`,
+    `trainers.py:1330-1468`): generate -> learn_from_experience."""
+
+    def __init__(self, model: DynamicsWorldModel, variables, *,
+                 time_steps: int = 16, num_steps: int = 4, batch_size: int = 8,
+                 objective: str = 'ppo', policy_lr: float = 1e-4, value_lr: float = 1e-4):
+        self.model = model
+        self.time_steps = time_steps
+        self.num_steps = num_steps
+        self.batch_size = batch_size
+        self.objective = objective
+
+        params = variables['params']
+        self.tx = make_rl_optimizer(model, policy_lr, value_lr)(params)
+        self.rl_state = RLState(params=params, opt_state=self.tx.init(params),
+                                return_stats=ReturnStats.create(),
+                                step=jnp.zeros((), jnp.int32))
+        self.state_collection = variables.get('state', {})
+
+        self._generate = jax.jit(lambda params, key: generate(
+            model, {'params': params, 'state': self.state_collection}, key,
+            time_steps=time_steps, num_steps=num_steps, batch_size=batch_size))
+        self._update = make_rl_update_step(model, self.tx, objective)
+
+    @property
+    def variables(self):
+        return {'params': self.rl_state.params, 'state': self.state_collection}
+
+    def step(self, key):
+        experience = self._generate(self.rl_state.params, key)
+        self.rl_state, out = self._update(self.rl_state, experience)
+        return experience, out
+
+    def __call__(self, num_steps: int, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        logs = []
+        for i in range(num_steps):
+            _, out = self.step(jax.random.fold_in(key, i))
+            logs.append({k: float(v) for k, v in out.stats.items()})
+        return logs
+
+
+class SimTrainer:
+    """Online RL: interact with a real env, accumulate experience, then run
+    epochs of minibatched updates (reference `SimTrainer`,
+    `trainers.py:1472-1727`)."""
+
+    def __init__(self, model: DynamicsWorldModel, variables, env, *,
+                 tokenizer=None, tokenizer_variables=None,
+                 objective: str = 'ppo', policy_lr: float = 1e-4, value_lr: float = 1e-4,
+                 num_steps: int = 4, max_timesteps: int = 16,
+                 num_rollouts_per_step: int = 1, update_epochs: int = 2):
+        from ..envs.interact import EnvInteractor
+
+        self.model = model
+        self.env = env
+        self.num_steps = num_steps
+        self.max_timesteps = max_timesteps
+        self.num_rollouts_per_step = num_rollouts_per_step
+        self.update_epochs = update_epochs
+        self.tokenizer_variables = tokenizer_variables
+
+        params = variables['params']
+        self.state_collection = variables.get('state', {})
+        self.tx = make_rl_optimizer(model, policy_lr, value_lr)(params)
+        self.rl_state = RLState(params=params, opt_state=self.tx.init(params),
+                                return_stats=ReturnStats.create(),
+                                step=jnp.zeros((), jnp.int32))
+        self.interactor = EnvInteractor(model, tokenizer=tokenizer)
+        self._update = make_rl_update_step(model, self.tx, objective)
+
+    @property
+    def variables(self):
+        return {'params': self.rl_state.params, 'state': self.state_collection}
+
+    def step(self, key):
+        from ..data.experience import combine_experiences
+
+        exps = []
+        for r in range(self.num_rollouts_per_step):
+            exp = self.interactor(
+                self.variables, self.env, jax.random.fold_in(key, r),
+                tokenizer_variables=self.tokenizer_variables,
+                num_steps=self.num_steps, max_timesteps=self.max_timesteps)
+            exps.append(exp)
+        experience = combine_experiences(exps) if len(exps) > 1 else exps[0]
+
+        outs = []
+        for e in range(self.update_epochs):
+            self.rl_state, out = self._update(self.rl_state, experience)
+            outs.append(out)
+        return experience, outs
+
+    def __call__(self, num_steps: int, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        returns = []
+        for i in range(num_steps):
+            experience, _ = self.step(jax.random.fold_in(key, i))
+            returns.append(float(np.mean(np.asarray(experience.episode_return))))
+        return returns
+
+
+# --------------------------------------------------------- behavior cloning
+
+class BehaviorCloneTrainer:
+    """Dynamics-model training over offline batches (reference
+    `BehaviorCloneTrainer`, `trainers.py:828-1326`). Host loop: sample batch
+    from the replay buffer / dataset, tokenize video if needed, call the
+    jitted train step; the shortcut branch is a host-side bernoulli
+    (two compiled variants)."""
+
+    def __init__(self, model: DynamicsWorldModel, variables, *,
+                 tokenizer: VideoTokenizer | None = None, tokenizer_variables=None,
+                 learning_rate: float = 3e-4, clip_grad_norm: float = 1.0,
+                 with_ema: bool = True, ema_decay: float = 0.999, seed: int = 0):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.tokenizer_variables = tokenizer_variables
+        self.tx = muon_adam_atan2(learning_rate=learning_rate, clip_grad_norm=clip_grad_norm)
+        self.ts = create_train_state(variables, self.tx, with_ema=with_ema)
+        self._train_step = make_world_model_train_step(self.model, self.tx, ema_decay)
+        self._tokenize = None
+        if tokenizer is not None:
+            self._tokenize = jax.jit(lambda tv, video: tokenizer.apply(
+                tv, video, return_latents=True))
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+
+    def train_on_batch(self, batch: dict):
+        batch = dict(batch)
+        if 'latents' not in batch:
+            assert self._tokenize is not None and 'video' in batch
+            batch['latents'] = self._tokenize(self.tokenizer_variables, batch['video'])
+        batch.pop('video', None)
+
+        shortcut = bool(self.rng.random() < self.model.prob_shortcut_train)
+        self.key, sub = jax.random.split(self.key)
+        self.ts, loss, losses = self._train_step(self.ts, batch, sub, shortcut_train=shortcut)
+        return loss, losses
+
+
+class TokenizerTrainer:
+    """Tokenizer training loop core (reference `VideoTokenizerTrainer`,
+    `trainers.py:419-824`)."""
+
+    def __init__(self, model: VideoTokenizer, variables, *,
+                 learning_rate: float = 3e-4, clip_grad_norm: float = 1.0,
+                 with_ema: bool = True, ema_decay: float = 0.999, seed: int = 0):
+        self.model = model
+        self.tx = muon_adam_atan2(learning_rate=learning_rate, clip_grad_norm=clip_grad_norm)
+        self.ts = create_train_state(variables, self.tx, with_ema=with_ema)
+        self._train_step = make_tokenizer_train_step(model, self.tx, ema_decay)
+        self.key = jax.random.PRNGKey(seed)
+
+    def train_on_batch(self, video, time_lens=None):
+        self.key, sub = jax.random.split(self.key)
+        self.ts, loss, losses = self._train_step(self.ts, video, time_lens, sub)
+        return loss, losses

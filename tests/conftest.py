@@ -14,3 +14,8 @@ if '--xla_force_host_platform_device_count' not in flags:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+# persistent compilation cache — first full run is slow on the small CPU host,
+# subsequent runs hit the cache
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)

@@ -1,0 +1,107 @@
+"""learn-from-experience tests: generate -> rl_losses -> gradient step moves
+the policy (mirrors reference e2e RL sections)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreamer4_tpu.models.generate import generate
+from dreamer4_tpu.models.rl import ReturnStats, rl_losses
+from dreamer4_tpu.models.world_model import DynamicsWorldModel
+
+
+def make_model(**kwargs):
+    defaults = dict(
+        dim=16,
+        dim_latent=8,
+        num_latent_tokens=4,
+        max_steps=16,
+        depth=1,
+        time_block_every=1,
+        num_spatial_tokens=4,
+        num_discrete_actions=(4,),
+        attn_dim_head=8,
+        attn_heads=2,
+        multi_token_pred_len=2,
+        num_register_tokens=2,
+        predict_terminals=True,
+    )
+    defaults.update(kwargs)
+    return DynamicsWorldModel(**defaults)
+
+
+def init_model(model):
+    latents = jnp.zeros((2, 3, model.num_latent_tokens, model.dim_latent))
+    rngs = {'params': jax.random.PRNGKey(0), 'sample': jax.random.PRNGKey(1)}
+    kwargs = {}
+    if len([n for n in model.num_discrete_actions if n > 0]) > 0:
+        kwargs['discrete_actions'] = jnp.zeros((2, 2, 1), jnp.int32)
+    if model.num_continuous_actions:
+        kwargs['continuous_actions'] = jnp.full((2, 2, model.num_continuous_actions), 0.5)
+    return model.init(rngs, latents=latents, shortcut_train=False,
+                      rewards=jnp.zeros((2, 3)), terminals=jnp.zeros((2,), bool), **kwargs)
+
+
+@pytest.fixture(scope='module')
+def model_and_experience():
+    model = make_model()
+    variables = init_model(model)
+    exp = generate(model, variables, jax.random.PRNGKey(0),
+                   time_steps=6, num_steps=2, batch_size=2)
+    return model, variables, exp
+
+
+@pytest.mark.parametrize('objective', ['ppo', 'pmpo', 'spo'])
+def test_rl_losses(model_and_experience, objective):
+    model, variables, exp = model_and_experience
+    out = rl_losses(model, variables, exp, objective=objective,
+                    return_stats=ReturnStats.create())
+    assert jnp.isfinite(out.policy_loss)
+    assert jnp.isfinite(out.value_loss)
+    for v in out.stats.values():
+        assert jnp.isfinite(v)
+
+
+def test_rl_gradient_flows_to_heads(model_and_experience):
+    model, variables, exp = model_and_experience
+
+    def loss_fn(params):
+        out = rl_losses(model, {'params': params}, exp, objective='ppo')
+        return out.policy_loss + out.value_loss
+
+    grads = jax.grad(loss_fn)(variables['params'])
+
+    g_policy = jax.tree.reduce(lambda a, b: a + float(jnp.abs(b).sum()),
+                               grads['policy_head'], 0.0)
+    g_value = jax.tree.reduce(lambda a, b: a + float(jnp.abs(b).sum()),
+                              grads['value_head'], 0.0)
+    g_unembed = float(jnp.abs(grads['action_embedder']['discrete_action_unembed']).sum())
+    assert g_policy > 0
+    assert g_value > 0
+    assert g_unembed > 0
+
+    # with only_learn_policy_value_heads the trunk receives no gradient
+    g_trunk = jax.tree.reduce(lambda a, b: a + float(jnp.abs(b).sum()),
+                              grads['transformer'], 0.0)
+    assert g_trunk == 0.0
+
+
+def test_return_ema_stats():
+    model = make_model(keep_reward_ema_stats=True)
+    variables = init_model(model)
+    exp = generate(model, variables, jax.random.PRNGKey(0),
+                   time_steps=4, num_steps=2, batch_size=2)
+    stats = ReturnStats.create()
+    out = rl_losses(model, variables, exp, objective='ppo', return_stats=stats)
+    # stats moved
+    assert float(out.return_stats.mean) != 0.0 or float(out.return_stats.var) != 1.0
+
+
+def test_rl_continuous(model_and_experience):
+    model = make_model(num_discrete_actions=(), num_continuous_actions=2,
+                       predict_terminals=False)
+    variables = init_model(model)
+    exp = generate(model, variables, jax.random.PRNGKey(0),
+                   time_steps=4, num_steps=2, batch_size=2)
+    out = rl_losses(model, variables, exp, objective='pmpo')
+    assert jnp.isfinite(out.policy_loss) and jnp.isfinite(out.value_loss)

@@ -1,0 +1,96 @@
+"""Trainer-layer tests: tokenizer/world-model train steps decrease loss,
+DreamTrainer updates only heads, SimTrainer runs the full online loop."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreamer4_tpu.envs.mocks import MockStateEnv
+from dreamer4_tpu.models.tokenizer import VideoTokenizer
+from dreamer4_tpu.models.world_model import DynamicsWorldModel
+from dreamer4_tpu.train.trainers import (BehaviorCloneTrainer, DreamTrainer,
+                                         SimTrainer, TokenizerTrainer)
+
+
+def test_tokenizer_trainer_reduces_loss():
+    model = VideoTokenizer(
+        dim=16, dim_latent=8, patch_size=8, image_height=16, image_width=16,
+        num_latent_tokens=2, encoder_depth=1, decoder_depth=1, time_block_every=1,
+        attn_dim_head=8, attn_heads=2, use_loss_normalization=False)
+    video = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 2, 16, 16))
+    variables = model.init({'params': jax.random.PRNGKey(0), 'sample': jax.random.PRNGKey(1)}, video)
+
+    trainer = TokenizerTrainer(model, variables, learning_rate=3e-3, with_ema=True)
+    first_loss, _ = trainer.train_on_batch(video)
+    for _ in range(10):
+        loss, _ = trainer.train_on_batch(video)
+    assert float(loss) < float(first_loss)
+    assert int(trainer.ts.step) == 11
+    # EMA params track
+    diff = jax.tree.reduce(
+        lambda a, b: a + float(jnp.abs(b).sum()),
+        jax.tree.map(lambda p, e: p - e, trainer.ts.params, trainer.ts.ema_params), 0.0)
+    assert diff > 0
+
+
+def make_wm(**kwargs):
+    defaults = dict(
+        dim=16, dim_latent=8, num_latent_tokens=4, max_steps=8, depth=1,
+        time_block_every=1, num_spatial_tokens=4, num_discrete_actions=(3,),
+        attn_dim_head=8, attn_heads=2, multi_token_pred_len=2, num_register_tokens=2,
+        predict_terminals=True)
+    defaults.update(kwargs)
+    return DynamicsWorldModel(**defaults)
+
+
+def init_wm(model, b=2, t=4):
+    latents = jnp.zeros((b, t, model.num_latent_tokens, model.dim_latent))
+    rngs = {'params': jax.random.PRNGKey(0), 'sample': jax.random.PRNGKey(1)}
+    return model.init(rngs, latents=latents, shortcut_train=False,
+                      rewards=jnp.zeros((b, t)), terminals=jnp.zeros((b,), bool),
+                      discrete_actions=jnp.zeros((b, t - 1, 1), jnp.int32))
+
+
+def test_bc_trainer_step():
+    model = make_wm()
+    variables = init_wm(model)
+    trainer = BehaviorCloneTrainer(model, variables, learning_rate=1e-3)
+
+    batch = dict(
+        latents=jnp.clip(jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 8)), -1, 1),
+        rewards=jax.random.normal(jax.random.PRNGKey(1), (2, 4)),
+        terminals=jnp.zeros((2,), bool),
+        discrete_actions=jax.random.randint(jax.random.PRNGKey(2), (2, 3, 1), 0, 3),
+    )
+    losses = [float(trainer.train_on_batch(batch)[0]) for _ in range(8)]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_dream_trainer_updates_heads_only():
+    model = make_wm()
+    variables = init_wm(model)
+    trainer = DreamTrainer(model, variables, time_steps=4, num_steps=2, batch_size=2)
+
+    before = jax.tree.map(lambda x: x.copy(), trainer.rl_state.params)
+    trainer(2)
+    after = trainer.rl_state.params
+
+    def delta(sub):
+        return jax.tree.reduce(lambda a, b: a + float(jnp.abs(b).sum()),
+                               jax.tree.map(lambda x, y: x - y, before[sub], after[sub]), 0.0)
+
+    assert delta('policy_head') > 0
+    assert delta('value_head') > 0
+    assert delta('transformer') == 0.0  # trunk frozen in heads-only RL
+
+
+def test_sim_trainer_online_loop():
+    model = make_wm(dim_state=4, dim_critic_state=4)
+    variables = init_wm(model)
+    env = MockStateEnv(dim_state=4, num_actions=3, max_steps=5)
+    trainer = SimTrainer(model, variables, env, max_timesteps=5, num_steps=2,
+                         update_epochs=1)
+    returns = trainer(2)
+    assert len(returns) == 2
+    assert all(np.isfinite(returns))
