@@ -80,10 +80,11 @@ class DynamicsWorldModelWrapper:
                     cache=cache, latent_is_noised=True, is_training=False,
                     return_pred_only=True, **kwargs)
                 t_frac = signal_val / K
+                flow_pred = pred.flow[:, :, 0]
                 if model.pred_orig_latent:
-                    flow = (pred.flow - noised) / (1.0 - t_frac)
+                    flow = (flow_pred - noised) / (1.0 - t_frac)
                 else:
-                    flow = pred.flow
+                    flow = flow_pred
                 noised = noised + flow * (self.step_size / K)
 
             denoised = jnp.clip(noised, -1.0, 1.0)

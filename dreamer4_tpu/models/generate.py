@@ -182,14 +182,14 @@ def generate(
                 cache=cache,
                 **cond_kwargs,
             )
+            flow_pred = pred.flow[:, :, 0]  # single view
             t_frac = signal_val / K
             if model.pred_orig_latent:
-                flow = (pred.flow - noised) / (1.0 - t_frac)
+                flow = (flow_pred - noised) / (1.0 - t_frac)
                 if has_proprio:
-                    pflow = (pred.proprio[:, :, None] - noised_proprio[:, :, None]) / (1.0 - t_frac)
-                    pflow = pflow[:, :, 0]
+                    pflow = (pred.proprio - noised_proprio) / (1.0 - t_frac)
             else:
-                flow = pred.flow
+                flow = flow_pred
                 if has_proprio:
                     pflow = pred.proprio
             noised = noised + flow * (step_size / K)

@@ -226,7 +226,24 @@ def rl_losses(
         policy_loss = masked_mean(loss, mask)
 
     entropy_loss = masked_mean(-jnp.sum(entropy, axis=-1), mask)
-    total_policy_loss = policy_loss + entropy_loss * model.policy_entropy_weight
+
+    # actor self-predictive rollout loss (reference `dreamer4.py:6225-6234`)
+    actor_spr_loss = 0.0
+    if model.actor_spr:
+        def spr_method(m, policy_embed, disc, cont, mask):
+            action_embeds = m.action_embedder(discrete_actions=disc, continuous_actions=cont)
+            return m.actor_spr_module(
+                policy_embed, action_embeds,
+                unembed_fn=lambda e: m.action_embedder.unembed(e, pred_head_index=0),
+                kl_fn=lambda a, bb: m.action_embedder.kl_div(a, bb),
+                mask=mask)
+
+        actor_spr_loss, _ = model.apply(
+            variables, policy_embed, actions.discrete, actions.continuous, mask,
+            method=spr_method, rngs={'sample': jax.random.PRNGKey(0)})
+
+    total_policy_loss = (policy_loss + entropy_loss * model.policy_entropy_weight
+                         + actor_spr_loss)
 
     # =================================================================
     # value loss (distributional CE against two-hot/HL-Gauss return bins)

@@ -96,6 +96,7 @@ class AxialSpaceTimeTransformer(nn.Module):
     value_residual: bool = True
     rnn_time: bool = False
     use_attn_pool: bool = True
+    mot_temporal: bool = False  # separate attn/ff weights for special tokens on time layers
     ff_expansion_factor: float = 4.0
     ff_activation: str = 'silu'
     gate_values: bool = True
@@ -114,10 +115,19 @@ class AxialSpaceTimeTransformer(nn.Module):
 
     def init_cache(self, batch: int, space_len: int, max_time: int, dtype=jnp.float32) -> TransformerCache:
         """Preallocate decode cache buffers (pure, no params needed)."""
-        kv = tuple(
-            KVCache.create(batch * space_len, self.attn_heads, max_time, self.attn_dim_head, dtype=dtype)
-            for _ in range(self.num_time_layers)
-        )
+        def layer_cache():
+            if self.mot_temporal and self.num_special_tokens > 0:
+                ns = self.num_special_tokens
+                return (
+                    KVCache.create(batch * (space_len - ns), self.attn_heads, max_time,
+                                   self.attn_dim_head, dtype=dtype),
+                    KVCache.create(batch * ns, self.attn_heads, max_time,
+                                   self.attn_dim_head, dtype=dtype),
+                )
+            return KVCache.create(batch * space_len, self.attn_heads, max_time,
+                                  self.attn_dim_head, dtype=dtype)
+
+        kv = tuple(layer_cache() for _ in range(self.num_time_layers))
         rnn = None
         if self.rnn_time:
             rnn = tuple(jnp.zeros((batch * space_len, self.dim), dtype=dtype) for _ in range(self.num_time_layers))
@@ -161,7 +171,10 @@ class AxialSpaceTimeTransformer(nn.Module):
             special_attend_only_itself=self.special_attend_only_itself,
         )
         if has_cache:
-            k_len = cache.kv[0].k.shape[-2] if self.num_time_layers > 0 else t
+            first_kv = cache.kv[0] if self.num_time_layers > 0 else None
+            if first_kv is not None and not isinstance(first_kv, KVCache):
+                first_kv = first_kv[0]  # MoT layer: (main, special) cache pair
+            k_len = first_kv.k.shape[-2] if first_kv is not None else t
             j = jnp.arange(k_len)
             i = jnp.arange(t)
             time_mask = j[None, :] <= (token_count + i[:, None])
@@ -214,7 +227,37 @@ class AxialSpaceTimeTransformer(nn.Module):
                 layer_hiddens.append(tokens)
 
             # attention block
-            if layer_is_time:
+            use_mot = layer_is_time and self.mot_temporal and self.num_special_tokens > 0
+            if use_mot:
+                # mixture of transformers: separate weights for special tokens
+                # on time layers (reference `dreamer4.py:2854-2858, 3117-3147`)
+                ns = self.num_special_tokens
+                main_tok, sp_tok = tokens[:, :, :-ns], tokens[:, :, -ns:]
+                m_tm, m_shape = _to_time_major(main_tok)
+                s_tm, s_shape = _to_time_major(sp_tok)
+                rv_m = rv_s = None
+                if residual_values is not None:
+                    rv_m = _to_time_major(residual_values[:, :, :-ns])[0]
+                    rv_s = _to_time_major(residual_values[:, :, -ns:])[0]
+                lc = cache.kv[time_layer_idx] if has_cache else None
+                lc_m, lc_s = lc if lc is not None else (None, None)
+                out_m = Attention(**attn_common, value_residual=self.value_residual,
+                                  name=f'attn_{i}')(
+                    m_tm, kv_cache=lc_m, rotary=time_rotary, mask=time_mask,
+                    residual_values=rv_m)
+                out_s = Attention(**attn_common, value_residual=self.value_residual,
+                                  name=f'special_attn_{i}')(
+                    s_tm, kv_cache=lc_s, rotary=time_rotary, mask=time_mask,
+                    residual_values=rv_s)
+                delta = jnp.concatenate([
+                    _from_time_major(out_m.out, m_shape),
+                    _from_time_major(out_s.out, s_shape)], axis=2)
+                tokens = tokens + delta
+                if out_m.cache is not None:
+                    new_kv_caches.append((out_m.cache, out_s.cache))
+                normed_time_inputs.append(out_m.normed_inputs)
+                time_layer_idx += 1
+            elif layer_is_time:
                 x_tm, bs_shape = _to_time_major(tokens)
                 rv_tm = _to_time_major(residual_values)[0] if residual_values is not None else None
                 layer_cache = cache.kv[time_layer_idx] if has_cache else None
@@ -243,14 +286,21 @@ class AxialSpaceTimeTransformer(nn.Module):
 
             layer_hiddens.append(tokens)
 
-            # feedforward
-            tokens = tokens + FeedForward(
+            # feedforward (split weights for special tokens on MoT layers)
+            ff_kwargs = dict(
                 dim=self.dim,
                 expansion_factor=self.ff_expansion_factor,
                 activation=self.ff_activation,
                 dtype=self.dtype,
-                name=f'ff_{i}',
-            )(tokens)
+            )
+            if use_mot:
+                ns = self.num_special_tokens
+                main_tok, sp_tok = tokens[:, :, :-ns], tokens[:, :, -ns:]
+                main_tok = main_tok + FeedForward(**ff_kwargs, name=f'ff_{i}')(main_tok)
+                sp_tok = sp_tok + FeedForward(**ff_kwargs, name=f'special_ff_{i}')(sp_tok)
+                tokens = jnp.concatenate([main_tok, sp_tok], axis=2)
+            else:
+                tokens = tokens + FeedForward(**ff_kwargs, name=f'ff_{i}')(tokens)
 
             layer_hiddens.append(tokens)
             hiddens.append(tokens)

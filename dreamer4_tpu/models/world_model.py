@@ -57,6 +57,10 @@ class WorldModelLosses(NamedTuple):
     agent_state_pred: jax.Array
     latent_ar: jax.Array
     latent_ar_sigreg: jax.Array
+    lapo_action: jax.Array
+    lapo_fdm: jax.Array
+    lapo_raw_latent_fdm: jax.Array
+    tem: jax.Array
 
 
 class Predictions(NamedTuple):
@@ -74,6 +78,10 @@ class Embeds(NamedTuple):
 
 class DynamicsCache(NamedTuple):
     main: TransformerCache
+    actor: TransformerCache | None = None
+    critic: TransformerCache | None = None
+    spatial: TransformerCache | None = None
+    action: TransformerCache | None = None
 
 
 class DynamicsWorldModel(nn.Module):
@@ -86,7 +94,12 @@ class DynamicsWorldModel(nn.Module):
     num_agents: int = 1
     num_tasks: int = 0
     num_latent_genes: int = 0
+    num_video_views: int = 1
     depth: int = 4
+    actor_depth: int = 0
+    critic_depth: int = 0
+    spatial_pre_encoder_depth: int = 0
+    action_pre_encoder_depth: int = 0
     time_block_every: int = 4
     attn_heads: int = 8
     attn_dim_head: int = 64
@@ -126,6 +139,22 @@ class DynamicsWorldModel(nn.Module):
     latent_ar_layer: int | tuple[int, int] | None = None
     latent_ar_action_conditioned: bool = False
     latent_ar_num_slices: int = 256
+    # aug conditioning
+    has_aug_conditioning: bool = False
+    aug_cfg_dropout_prob: float = 0.1
+    # SSL
+    ssl_lapo: bool = False
+    lapo_pred_actions: bool = True
+    lapo_use_fdm: bool = True
+    ssl_tem: bool = False
+    tem_first_state_as_init_hidden: bool = True
+    tem_learn_relative_actions: bool = False
+    actor_spr: bool = False
+    actor_spr_num_rollouts: int = 1
+    lapo_action_loss_weight: float = 1.0
+    lapo_fdm_loss_weight: float = 1.0
+    lapo_raw_latent_fdm_loss_weight: float = 1.0
+    tem_loss_weight: float = 1.0
     # loss weights
     latent_flow_loss_weight: float = 1.0
     shortcut_loss_weight: float = 1.0
@@ -196,18 +225,23 @@ class DynamicsWorldModel(nn.Module):
         return get_reward_encoder(self.reward_encoder_type,
                                   reward_range=self.reward_range, num_bins=bins)
 
-    # tokens per frame: flow + spatial + proprio + state_pred + registers
-    #                   + action + reward + agents
+    @property
+    def video_has_multi_view(self) -> bool:
+        return self.num_video_views > 1
+
+    # tokens per frame: flow + spatial (per view) + proprio + state_pred +
+    #                   registers + action + reward + aug + agents
     @property
     def tokens_per_frame(self) -> int:
         return (
             1
-            + self.num_spatial_tokens
+            + self.num_spatial_tokens * self.num_video_views
             + int(self.has_proprio)
             + int(self.should_pred_state)
             + self.num_register_tokens
             + int(self.has_actions)
             + int(self.add_reward_embed_to_agent_token)
+            + int(self.has_aug_conditioning)
             + self.num_agents
         )
 
@@ -314,19 +348,78 @@ class DynamicsWorldModel(nn.Module):
                 name='latent_ar_module',
             )
 
-        self.transformer = AxialSpaceTimeTransformer(
+        num_special = self.num_agents + int(self.has_aug_conditioning)
+        trunk_kwargs = dict(
             dim=dim,
-            depth=self.depth,
             attn_heads=self.attn_heads,
             attn_dim_head=self.attn_dim_head,
             query_heads=self.query_heads,
             attn_softclamp_value=self.attn_softclamp_value,
             time_block_every=self.time_block_every,
-            num_special_tokens=self.num_agents,
+            num_special_tokens=num_special,
             final_norm=False,
             dtype=self.dtype,
-            name='transformer',
         )
+        self.transformer = AxialSpaceTimeTransformer(
+            depth=self.depth, **trunk_kwargs, name='transformer')
+        if self.actor_depth > 0:
+            self.actor_transformer = AxialSpaceTimeTransformer(
+                depth=self.actor_depth, **trunk_kwargs, name='actor_transformer')
+        if self.critic_depth > 0:
+            self.critic_transformer = AxialSpaceTimeTransformer(
+                depth=self.critic_depth, **trunk_kwargs, name='critic_transformer')
+
+        if self.spatial_pre_encoder_depth > 0:
+            self.spatial_pre_encoder = AxialSpaceTimeTransformer(
+                dim=dim, depth=self.spatial_pre_encoder_depth,
+                attn_heads=self.attn_heads, attn_dim_head=self.attn_dim_head,
+                query_heads=self.query_heads,
+                attn_softclamp_value=self.attn_softclamp_value,
+                time_block_every=self.time_block_every,
+                num_special_tokens=0, final_norm=False, dtype=self.dtype,
+                name='spatial_pre_encoder')
+        if self.action_pre_encoder_depth > 0:
+            assert self.has_actions
+            self.action_pre_encoder = AxialSpaceTimeTransformer(
+                dim=dim, depth=self.action_pre_encoder_depth,
+                attn_heads=self.attn_heads, attn_dim_head=self.attn_dim_head,
+                query_heads=self.query_heads,
+                attn_softclamp_value=self.attn_softclamp_value,
+                time_block_every=1,  # every layer over time (reference `dreamer4.py:5136`)
+                num_special_tokens=0, final_norm=False, dtype=self.dtype,
+                name='action_pre_encoder')
+
+        if self.has_aug_conditioning:
+            self.aug_cond_embedding = nn.Embed(3, dim, name='aug_cond_embedding')
+        if self.video_has_multi_view:
+            self.view_emb = self.param('view_emb', nn.initializers.normal(1e-2),
+                                       (self.num_video_views, dim))
+
+        if self.ssl_lapo:
+            from ..nn.ssl import LAPO
+            assert self.spatial_pre_encoder_depth > 0, 'LAPO requires the spatial pre-encoder'
+            self.ssl_lapo_module = LAPO(
+                dim_embed=dim, dim_latent_action=dim,
+                num_discrete_actions=self.num_discrete_actions,
+                num_continuous_actions=self.num_continuous_actions,
+                dim_raw_latent=self.dim_latent,
+                num_raw_latent_tokens=self.num_latent_tokens,
+                pred_actions=self.lapo_pred_actions, use_fdm=self.lapo_use_fdm,
+                name='ssl_lapo_module')
+        if self.ssl_tem:
+            from ..nn.ssl import TEM
+            assert self.action_pre_encoder_depth > 0, 'TEM requires the action pre-encoder'
+            self.ssl_tem_module = TEM(
+                dim_action_embed=dim, dim_raw_latent=self.dim_latent,
+                num_raw_latent_tokens=self.num_latent_tokens,
+                first_state_as_init_hidden=self.tem_first_state_as_init_hidden,
+                learn_relative_actions=self.tem_learn_relative_actions,
+                name='ssl_tem_module')
+        if self.actor_spr:
+            from ..nn.ssl import ActorSPR
+            self.actor_spr_module = ActorSPR(
+                dim=dim * 4, num_rollouts=self.actor_spr_num_rollouts,
+                name='actor_spr_module')
 
         if self.use_loss_normalization:
             self.flow_loss_normalizer = LossNormalizer(name='flow_loss_normalizer')
@@ -371,6 +464,10 @@ class DynamicsWorldModel(nn.Module):
             self.reward_bin_embed(jnp.zeros((1,), jnp.int32))
         if self.num_tasks > 0:
             self.task_embed(jnp.zeros((1,), jnp.int32))
+        if self.action_pre_encoder_depth > 0:
+            self.action_pre_encoder(jnp.zeros((1, 1, 1, d)))
+        if self.actor_spr:
+            self.actor_spr_module(jnp.zeros((1, 3, d * 4)), jnp.zeros((1, 3, d)))
         if self.agent_predicts_state:
             dim_in = d * 2 if self.has_actions else d
             self.agent_state_pred_net(jnp.zeros((1, dim_in)))
@@ -382,8 +479,18 @@ class DynamicsWorldModel(nn.Module):
         return out.reshape(*state.shape[:-1], self.num_latent_tokens, self.dim_latent)
 
     def init_cache(self, batch: int, max_time: int, dtype=jnp.float32) -> DynamicsCache:
+        s = self.tokens_per_frame
         return DynamicsCache(
-            main=self.transformer.init_cache(batch, self.tokens_per_frame, max_time, dtype=dtype)
+            main=self.transformer.init_cache(batch, s, max_time, dtype=dtype),
+            actor=(self.actor_transformer.init_cache(batch, s, max_time, dtype=dtype)
+                   if self.actor_depth > 0 else None),
+            critic=(self.critic_transformer.init_cache(batch, s, max_time, dtype=dtype)
+                    if self.critic_depth > 0 else None),
+            spatial=(self.spatial_pre_encoder.init_cache(
+                batch, self.num_spatial_tokens * self.num_video_views, max_time, dtype=dtype)
+                if self.spatial_pre_encoder_depth > 0 else None),
+            action=(self.action_pre_encoder.init_cache(batch, 1, max_time, dtype=dtype)
+                    if self.action_pre_encoder_depth > 0 else None),
         )
 
     def _reward_tokens(self, rewards, time, is_training: bool, reward_token_mask=None):
@@ -455,26 +562,46 @@ class DynamicsWorldModel(nn.Module):
 
     def _predict(
         self,
-        noised_latents,          # (b, t, n, d_latent)
+        noised_latents,          # (b, t, v, n, d_latent)
         noised_proprio,          # (b, t, dp) | None
         signal_levels,           # (b, t) ints
         step_sizes_log2,         # (b,) ints
         action_tokens,           # (b, t, 1, d) | None
         reward_tokens,           # (b, t, 1, d) | None
+        aug_token,               # (b, t, 1, d) | None
         agent_tokens,            # (b, t, num_agents, d)
         cache: DynamicsCache | None = None,
         max_time: int | None = None,
     ):
-        b, t = noised_latents.shape[:2]
+        b, t, v = noised_latents.shape[:3]
         dim = self.dim
+        s_per_view = self.num_spatial_tokens
 
         if self.latents_to_spatial_tokens is None:
             space_tokens = noised_latents
         else:
-            if isinstance(self.latents_to_spatial_tokens, nn.Dense):
-                space_tokens = self.latents_to_spatial_tokens(noised_latents)
-            else:
-                space_tokens = self.latents_to_spatial_tokens(noised_latents)
+            space_tokens = self.latents_to_spatial_tokens(noised_latents)  # (b, t, v, s, d)
+
+        if self.video_has_multi_view:
+            space_tokens = space_tokens + self.view_emb[None, None, :, None, :]
+
+        space_tokens = space_tokens.reshape(b, t, v * s_per_view, dim)
+
+        # spatial pre-encoding (reference `dreamer4.py:7212-7213`)
+        pre_encoded_spatial = None
+        spatial_interm = None
+        if self.spatial_pre_encoder_depth > 0:
+            space_tokens, spatial_interm = self.spatial_pre_encoder(
+                space_tokens, cache=cache.spatial if cache is not None else None,
+                max_time=max_time, return_intermediates=True)
+            pre_encoded_spatial = space_tokens
+
+        # action pre-encoding (reference `dreamer4.py:7217-7218`)
+        action_interm = None
+        if self.action_pre_encoder_depth > 0 and action_tokens is not None:
+            action_tokens, action_interm = self.action_pre_encoder(
+                action_tokens, cache=cache.action if cache is not None else None,
+                max_time=max_time, return_intermediates=True)
 
         registers = jnp.broadcast_to(self.register_tokens[None, None], (b, t, self.num_register_tokens, dim))
 
@@ -508,6 +635,13 @@ class DynamicsWorldModel(nn.Module):
                                                  (b, t, 1, dim)) * 0.0
             parts.append(reward_tokens)
 
+        if self.has_aug_conditioning:
+            if aug_token is None:
+                aug_token = jnp.broadcast_to(
+                    self.aug_cond_embedding(jnp.zeros((b,), jnp.int32))[:, None, None, :],
+                    (b, t, 1, dim))
+            parts.append(aug_token)
+
         parts.append(agent_tokens)
 
         sizes = [p.shape[2] for p in parts]
@@ -518,12 +652,24 @@ class DynamicsWorldModel(nn.Module):
         tokens, interm = self.transformer(tokens, cache=main_cache, max_time=max_time,
                                           return_intermediates=True)
 
+        # actor / critic transformer heads (reference `dreamer4.py:7230-7238`)
+        actor_tokens = critic_tokens = None
+        actor_interm = critic_interm = None
+        if self.actor_depth > 0:
+            actor_tokens, actor_interm = self.actor_transformer(
+                tokens, cache=cache.actor if cache is not None else None,
+                max_time=max_time, return_intermediates=True)
+        if self.critic_depth > 0:
+            critic_tokens, critic_interm = self.critic_transformer(
+                tokens, cache=cache.critic if cache is not None else None,
+                max_time=max_time, return_intermediates=True)
+
         # unpack
         offsets = [0]
         for s in sizes:
             offsets.append(offsets[-1] + s)
         idx = 0
-        flow_out = tokens[:, :, offsets[idx]:offsets[idx + 1]]; idx += 1
+        idx += 1  # flow token
         space_out = tokens[:, :, offsets[idx]:offsets[idx + 1]]; idx += 1
         proprio_out = None
         if self.has_proprio:
@@ -536,13 +682,19 @@ class DynamicsWorldModel(nn.Module):
             idx += 1
         if self.add_reward_embed_to_agent_token:
             idx += 1
-        agent_out = tokens[:, :, offsets[idx]:offsets[idx + 1]]
+        if self.has_aug_conditioning:
+            idx += 1
+        agent_slice = slice(offsets[idx], offsets[idx + 1])
+        agent_out = tokens[:, :, agent_slice]
+        actor_agent = actor_tokens[:, :, agent_slice] if actor_tokens is not None else agent_out
+        critic_agent = critic_tokens[:, :, agent_slice] if critic_tokens is not None else agent_out
 
-        # latent prediction head
-        h = self.latent_pred_norm(space_out)
+        # latent prediction head (per view)
+        space_per_view = space_out.reshape(b, t, v, s_per_view, dim)
+        h = self.latent_pred_norm(space_per_view)
         if self.latent_pred_pool is not None:
             h = self.latent_pred_pool(h)
-        pred = self.to_latent_pred(h)
+        pred = self.to_latent_pred(h)  # (b, t, v, n, d_latent)
 
         pred_proprio = None
         if self.has_proprio:
@@ -554,9 +706,20 @@ class DynamicsWorldModel(nn.Module):
             pred_state = s.reshape(b, t, self.num_latent_tokens, self.dim_latent, 2)
 
         predictions = Predictions(flow=pred, proprio=pred_proprio, state=pred_state)
-        embeds = Embeds(agent=agent_out, state_pred=state_pred_out, actor=agent_out, critic=agent_out)
-        new_cache = DynamicsCache(main=interm.cache) if interm.cache is not None else None
-        return predictions, embeds, interm, new_cache
+        embeds = Embeds(agent=agent_out, state_pred=state_pred_out,
+                        actor=actor_agent, critic=critic_agent)
+        new_cache = None
+        if interm.cache is not None:
+            new_cache = DynamicsCache(
+                main=interm.cache,
+                actor=actor_interm.cache if actor_interm is not None else None,
+                critic=critic_interm.cache if critic_interm is not None else None,
+                spatial=spatial_interm.cache if spatial_interm is not None else None,
+                action=action_interm.cache if action_interm is not None else None,
+            )
+        aux = dict(interm=interm, pre_encoded_spatial=pre_encoded_spatial,
+                   space_out=space_out)
+        return predictions, embeds, aux, new_cache
 
     # -------------------------------------------------------------- forward
 
@@ -579,11 +742,15 @@ class DynamicsWorldModel(nn.Module):
         agent_token_cond=None,        # (b, t, d)
         action_token_mask=None,       # (b, t) — see _action_tokens
         reward_token_mask=None,       # (b, t) — see _reward_tokens
+        aug_id=None,
+        cfg_dropout_aug: bool | None = None,
+        latent_has_view_dim: bool = False,
         cache: DynamicsCache | None = None,
         max_time: int | None = None,
         latent_is_noised: bool = False,
         return_pred_only: bool = False,
         return_intermediates: bool = False,
+        return_layer_hiddens: bool = False,
         shortcut_train: bool | None = None,
         update_loss_ema: bool = True,
         is_training: bool = True,
@@ -592,6 +759,11 @@ class DynamicsWorldModel(nn.Module):
         if self.is_initializing():
             self._touch_all_params()
         b, time = latents.shape[:2]
+
+        # standardize the view dimension: (b, t, v, n, d)
+        if latents.ndim == 4 and not latent_has_view_dim:
+            latents = latents[:, :, None]
+        assert latents.shape[2] == self.num_video_views
         assert latents.shape[-2:] == self.latent_shape
 
         # ---- align rewards/terminals left-padded to states
@@ -649,7 +821,7 @@ class DynamicsWorldModel(nn.Module):
             key = self.make_rng('sample')
             k_l, k_p = jax.random.split(key)
             noise = jax.random.normal(k_l, latents.shape)
-            t_aligned = times[..., None, None]
+            t_aligned = times[..., None, None, None]
             noised_latents = noise + (latents - noise) * t_aligned
             proprio_noise = None
             noised_proprio = None
@@ -683,10 +855,32 @@ class DynamicsWorldModel(nn.Module):
             shift=shift_action_tokens, is_sequential=is_sequential,
             action_token_mask=action_token_mask)
 
+        # ---- aug conditioning token (reference `dreamer4.py:7134-7157`)
+        aug_token = None
+        if self.has_aug_conditioning:
+            if cfg_dropout_aug is None:
+                cfg_dropout_aug = is_training and not is_inference
+            if aug_id is None:
+                aug_id = 0
+            if isinstance(aug_id, bool):
+                aug_id = int(aug_id) + 1
+            aug_ids = jnp.asarray(aug_id)
+            if aug_ids.dtype == jnp.bool_:
+                aug_ids = aug_ids.astype(jnp.int32) + 1
+            aug_ids = jnp.broadcast_to(aug_ids, (b,)).astype(jnp.int32)
+            if cfg_dropout_aug and self.aug_cfg_dropout_prob > 0.0:
+                drop = jax.random.bernoulli(self.make_rng('sample'),
+                                            self.aug_cfg_dropout_prob, (b,))
+                aug_ids = jnp.where(drop, 0, aug_ids)
+            aug_token = jnp.broadcast_to(
+                self.aug_cond_embedding(aug_ids)[:, None, None, :], (b, time, 1, self.dim))
+
         # ---- main forward
-        pred, embeds, interm, new_cache = self._predict(
+        pred, embeds, aux, new_cache = self._predict(
             noised_latents, noised_proprio, signal_levels, step_sizes_log2,
-            action_tokens, reward_tokens, agent_tokens, cache=cache, max_time=max_time)
+            action_tokens, reward_tokens, aug_token, agent_tokens,
+            cache=cache, max_time=max_time)
+        interm = aux['interm']
 
         if return_pred_only:
             if not return_intermediates:
@@ -723,12 +917,14 @@ class DynamicsWorldModel(nn.Module):
             half_log2 = step_sizes_log2 - 1
             half_step = 2 ** half_log2
 
+            lat_size = self.num_video_views * self.num_latent_tokens * self.dim_latent
+
             def run_frozen(noised_flat, sig, sl2):
-                lat = noised_flat[..., : self.num_latent_tokens * self.dim_latent].reshape(
-                    b, time, self.num_latent_tokens, self.dim_latent)
-                prop = noised_flat[..., self.num_latent_tokens * self.dim_latent:] if self.has_proprio else None
+                lat = noised_flat[..., :lat_size].reshape(
+                    b, time, self.num_video_views, self.num_latent_tokens, self.dim_latent)
+                prop = noised_flat[..., lat_size:] if self.has_proprio else None
                 p, _, _, _ = self._predict(lat, prop, sig, sl2, action_tokens, reward_tokens,
-                                           agent_tokens)
+                                           aug_token, agent_tokens)
                 return pack_modalities(p.flow, p.proprio)
 
             first_pred = jax.lax.stop_gradient(run_frozen(noised, signal_levels, half_log2))
@@ -800,7 +996,7 @@ class DynamicsWorldModel(nn.Module):
         # ---- terminal loss (BCE with DreamerV3 label smoothing)
         terminal_loss = zero
         if terminals is not None and self.predict_terminals and time > 1:
-            pooled = jnp.mean(latents[:, 1:], axis=-2)  # (b, t-1, d_latent)
+            pooled = jnp.mean(latents[:, 1:], axis=(-3, -2))  # (b, t-1, d_latent)
             logits = self.to_state_terminal_pred(pooled)[..., 0]
 
             if terminals.ndim == 1:
@@ -817,11 +1013,13 @@ class DynamicsWorldModel(nn.Module):
             bce = jnp.maximum(logits, 0) - logits * terminals_seq + jnp.log1p(jnp.exp(-jnp.abs(logits)))
             terminal_loss = masked_mean(bce, loss_mask_without_last) if is_var_len else jnp.mean(bce)
 
-        # ---- autoregressive state prediction (Beta NLL)
+        # ---- autoregressive state prediction (Beta NLL); single-view heads
+        latents0 = latents[:, :, 0]
         state_pred_loss = zero
         if self.should_pred_state and time > 1:
+            assert self.num_video_views == 1, 'state prediction heads assume a single view'
             pred_latent = pred.state[:, :-1]
-            latent_to_pred = (latents[:, 1:] + 1.0) / 2.0
+            latent_to_pred = (latents0[:, 1:] + 1.0) / 2.0
             latent_to_pred = jnp.clip(latent_to_pred, self.eps_latent_pred, 1.0 - self.eps_latent_pred)
             nll = -dists.continuous_log_prob(pred_latent, latent_to_pred, 'beta')
             state_pred_loss = (masked_mean(nll, loss_mask_without_last[..., None, None])
@@ -843,7 +1041,7 @@ class DynamicsWorldModel(nn.Module):
             s = self.agent_state_pred_net(agent_embeds_in)
             seq_len = s.shape[1]
             s = s.reshape(b, seq_len, self.num_latent_tokens, self.dim_latent, 2)
-            latent_to_pred = (latents[:, 1:1 + seq_len] + 1.0) / 2.0
+            latent_to_pred = (latents0[:, 1:1 + seq_len] + 1.0) / 2.0
             latent_to_pred = jnp.clip(latent_to_pred, self.eps_latent_pred, 1.0 - self.eps_latent_pred)
             nll = -dists.continuous_log_prob(s, latent_to_pred, 'beta')
             agent_state_pred_loss = (
@@ -917,8 +1115,9 @@ class DynamicsWorldModel(nn.Module):
                 src_layer, tgt_layer = self.latent_ar_layer
             else:
                 src_layer = tgt_layer = self.latent_ar_layer
-            src_h = layer_hiddens[src_layer][:, :, 1:1 + self.num_spatial_tokens]
-            tgt_h = layer_hiddens[tgt_layer][:, :, 1:1 + self.num_spatial_tokens]
+            num_space = self.num_spatial_tokens * self.num_video_views
+            src_h = layer_hiddens[src_layer][:, :, 1:1 + num_space]
+            tgt_h = layer_hiddens[tgt_layer][:, :, 1:1 + num_space]
 
             cond = None
             if self.latent_ar_action_conditioned:
@@ -932,6 +1131,22 @@ class DynamicsWorldModel(nn.Module):
             latent_ar_loss, latent_ar_sigreg_loss, _ = self.latent_ar_module(
                 src_h, target=None if src_layer == tgt_layer else tgt_h,
                 mask=loss_mask, cond=cond)
+
+        # ---- SSL losses (reference `dreamer4.py:7684-7706`)
+        lapo_action_loss = lapo_fdm_loss = lapo_raw_fdm_loss = zero
+        if self.ssl_lapo and time > 1:
+            lapo_action_loss, lapo_fdm_loss, lapo_raw_fdm_loss = self.ssl_lapo_module(
+                aux['space_out'],
+                discrete_actions=discrete_actions,
+                continuous_actions=continuous_actions,
+                raw_latents=latents0)
+
+        tem_loss = zero
+        if self.ssl_tem:
+            nat = next_action_tokens
+            if nat is None:
+                nat = jnp.zeros((b, time, self.dim))
+            tem_loss = self.ssl_tem_module(nat, latents0)
 
         # ---- normalization
         if self.use_loss_normalization:
@@ -959,6 +1174,10 @@ class DynamicsWorldModel(nn.Module):
             + agent_state_pred_loss * self.agent_state_pred_loss_weight
             + latent_ar_loss * self.latent_ar_loss_weight
             + latent_ar_sigreg_loss * self.latent_ar_sigreg_loss_weight
+            + lapo_action_loss * self.lapo_action_loss_weight
+            + lapo_fdm_loss * self.lapo_fdm_loss_weight
+            + lapo_raw_fdm_loss * self.lapo_raw_latent_fdm_loss_weight
+            + tem_loss * self.tem_loss_weight
         )
 
         if not return_intermediates:
@@ -975,5 +1194,12 @@ class DynamicsWorldModel(nn.Module):
             agent_state_pred=agent_state_pred_loss,
             latent_ar=latent_ar_loss,
             latent_ar_sigreg=latent_ar_sigreg_loss,
+            lapo_action=lapo_action_loss,
+            lapo_fdm=lapo_fdm_loss,
+            lapo_raw_latent_fdm=lapo_raw_fdm_loss,
+            tem=tem_loss,
         )
-        return total_loss, losses, embeds
+        out = (total_loss, losses, embeds)
+        if return_layer_hiddens:
+            out = out + (interm.layer_hiddens,)
+        return out

@@ -50,14 +50,32 @@ def create_train_state(variables, tx, with_ema: bool = False) -> TrainState:
 
 # ---------------------------------------------------------------- tokenizer
 
-def make_tokenizer_train_step(model: VideoTokenizer, tx, ema_decay: float = 0.999):
-    @jax.jit
-    def train_step(ts: TrainState, video, time_lens, key):
+def make_tokenizer_train_step(model: VideoTokenizer, tx, ema_decay: float = 0.999,
+                              lpips_fn=None):
+    """`lpips_fn(recon, clean, key, time_lens)` is a fixed closure built once
+    (see nn/lpips.py) so the jit cache is stable."""
+    from ..models.tokenizer import latent_consistency_loss, video_to_internal
+
+    @partial(jax.jit, static_argnames=('train_flow_decoder',))
+    def train_step(ts: TrainState, video, time_lens, key, train_flow_decoder: bool = False):
+        byol_targets = None
+        if model.has_byol and ts.ema_params is not None:
+            byol_targets = model.apply(
+                {'params': ts.ema_params, 'state': ts.state}, video, return_latents=True)
+
         def loss_fn(params):
+            variables = {'params': params, 'state': ts.state}
             (loss, interm), new_vars = model.apply(
-                {'params': params, 'state': ts.state},
-                video, time_lens=time_lens, return_intermediates=True,
+                variables, video, time_lens=time_lens, return_intermediates=True,
+                byol_target_latents=byol_targets, lpips_fn=lpips_fn,
+                train_flow_decoder=train_flow_decoder,
                 rngs={'sample': key}, mutable=['state'])
+
+            if model.latent_consistency_loss_weight > 0.0:
+                lc = latent_consistency_loss(model, variables, interm.recon,
+                                             interm.latents, time_lens=time_lens)
+                loss = loss + lc * model.latent_consistency_loss_weight
+
             return loss, (new_vars.get('state', {}), interm.losses)
 
         (loss, (new_state, losses)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
@@ -73,12 +91,19 @@ def make_tokenizer_train_step(model: VideoTokenizer, tx, ema_decay: float = 0.99
 
 # --------------------------------------------------------------- dynamics
 
-def make_world_model_train_step(model: DynamicsWorldModel, tx, ema_decay: float = 0.999):
+def make_world_model_train_step(model: DynamicsWorldModel, tx, ema_decay: float = 0.999,
+                                self_flow_cfg: dict | None = None):
+    """`self_flow_cfg`: dict(head=SelfFlowHead, student_layer=int,
+    teacher_layer=int, weight=float) — head params live under the reserved
+    'self_flow_head' key of the param tree."""
+
     @partial(jax.jit, static_argnames=('shortcut_train',))
     def train_step(ts: TrainState, batch: dict, key, shortcut_train: bool):
         def loss_fn(params):
-            (loss, losses, _), new_vars = model.apply(
-                {'params': params, 'state': ts.state},
+            sf_params = params.get('self_flow_head') if self_flow_cfg is not None else None
+            model_params = {k: v for k, v in params.items() if k != 'self_flow_head'}
+
+            batch_kwargs = dict(
                 latents=batch['latents'],
                 rewards=batch.get('rewards'),
                 terminals=batch.get('terminals'),
@@ -88,8 +113,28 @@ def make_world_model_train_step(model: DynamicsWorldModel, tx, ema_decay: float 
                 lens=batch.get('lens'),
                 tasks=batch.get('tasks'),
                 shortcut_train=shortcut_train,
+            )
+
+            (loss, losses, _), new_vars = model.apply(
+                {'params': model_params, 'state': ts.state},
                 return_intermediates=True,
-                rngs={'sample': key}, mutable=['state'])
+                rngs={'sample': key}, mutable=['state'], **batch_kwargs)
+
+            if self_flow_cfg is not None and ts.ema_params is not None:
+                from ..models.self_flow import self_flow_loss
+
+                ema_model_params = {k: v for k, v in ts.ema_params.items()
+                                    if k != 'self_flow_head'}
+                sf = self_flow_loss(
+                    model, self_flow_cfg['head'], {'params': sf_params},
+                    {'params': model_params, 'state': ts.state},
+                    {'params': ema_model_params, 'state': ts.state},
+                    batch_kwargs, jax.random.fold_in(key, 17),
+                    student_layer=self_flow_cfg.get('student_layer', -3),
+                    teacher_layer=self_flow_cfg.get('teacher_layer', -1),
+                    lens=batch.get('lens'))
+                loss = loss + sf * self_flow_cfg.get('weight', 1.0)
+
             return loss, (new_vars.get('state', {}), losses)
 
         (loss, (new_state, losses)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
@@ -275,13 +320,31 @@ class BehaviorCloneTrainer:
     def __init__(self, model: DynamicsWorldModel, variables, *,
                  tokenizer: VideoTokenizer | None = None, tokenizer_variables=None,
                  learning_rate: float = 3e-4, clip_grad_norm: float = 1.0,
-                 with_ema: bool = True, ema_decay: float = 0.999, seed: int = 0):
+                 with_ema: bool = True, ema_decay: float = 0.999, seed: int = 0,
+                 use_self_flow: bool = False, self_flow_weight: float = 1.0,
+                 self_flow_student_layer: int = -3, self_flow_teacher_layer: int = -1):
         self.model = model
         self.tokenizer = tokenizer
         self.tokenizer_variables = tokenizer_variables
         self.tx = muon_adam_atan2(learning_rate=learning_rate, clip_grad_norm=clip_grad_norm)
-        self.ts = create_train_state(variables, self.tx, with_ema=with_ema)
-        self._train_step = make_world_model_train_step(self.model, self.tx, ema_decay)
+
+        self_flow_cfg = None
+        if use_self_flow:
+            from ..models.self_flow import SelfFlowHead
+
+            head = SelfFlowHead(dim=model.dim)
+            dummy = jnp.zeros((1, 2, 3, model.dim))
+            head_vars = head.init(jax.random.PRNGKey(seed + 11), dummy, dummy)
+            variables = dict(variables)
+            variables['params'] = dict(variables['params'])
+            variables['params']['self_flow_head'] = head_vars['params']
+            self_flow_cfg = dict(head=head, weight=self_flow_weight,
+                                 student_layer=self_flow_student_layer,
+                                 teacher_layer=self_flow_teacher_layer)
+
+        self.ts = create_train_state(variables, self.tx, with_ema=with_ema or use_self_flow)
+        self._train_step = make_world_model_train_step(self.model, self.tx, ema_decay,
+                                                       self_flow_cfg=self_flow_cfg)
         self._tokenize = None
         if tokenizer is not None:
             self._tokenize = jax.jit(lambda tv, video: tokenizer.apply(
@@ -308,14 +371,32 @@ class TokenizerTrainer:
 
     def __init__(self, model: VideoTokenizer, variables, *,
                  learning_rate: float = 3e-4, clip_grad_norm: float = 1.0,
-                 with_ema: bool = True, ema_decay: float = 0.999, seed: int = 0):
+                 with_ema: bool = True, ema_decay: float = 0.999, seed: int = 0,
+                 use_lpips: bool = False, lpips_weights_path: str | None = None):
         self.model = model
         self.tx = muon_adam_atan2(learning_rate=learning_rate, clip_grad_norm=clip_grad_norm)
         self.ts = create_train_state(variables, self.tx, with_ema=with_ema)
-        self._train_step = make_tokenizer_train_step(model, self.tx, ema_decay)
+
+        lpips_fn = None
+        if use_lpips and model.lpips_loss_weight > 0.0:
+            from ..nn.lpips import init_lpips, lpips_loss as _lpips_loss
+
+            lpips_module, lpips_vars = init_lpips(jax.random.PRNGKey(seed + 7),
+                                                  weights_path=lpips_weights_path)
+
+            def lpips_fn(recon, clean, key, time_lens):  # noqa: F811
+                return _lpips_loss(lpips_module, lpips_vars, recon, clean, key,
+                                   time_lens=time_lens)
+
+        self._train_step = make_tokenizer_train_step(model, self.tx, ema_decay,
+                                                     lpips_fn=lpips_fn)
+        self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
 
     def train_on_batch(self, video, time_lens=None):
         self.key, sub = jax.random.split(self.key)
-        self.ts, loss, losses = self._train_step(self.ts, video, time_lens, sub)
+        train_flow = (self.model.has_separate_flow_decoder
+                      and bool(self.rng.random() < self.model.flow_decoder_train_prob))
+        self.ts, loss, losses = self._train_step(self.ts, video, time_lens, sub,
+                                                 train_flow_decoder=train_flow)
         return loss, losses

@@ -158,7 +158,7 @@ def test_checkpoint_roundtrip(tmp_path, wm_and_vars):
     latents = jnp.zeros((1, 2, 4, 8))
     pred = model2.apply(variables2, latents=latents, signal_levels=7, step_sizes=4,
                         latent_is_noised=True, rngs={'sample': jax.random.PRNGKey(0)})
-    assert pred.flow.shape == (1, 2, 4, 8)
+    assert pred.flow.shape == (1, 2, 1, 4, 8)  # (b, t, views, n, d)
 
 
 def test_cli_help():

@@ -102,7 +102,7 @@ def test_signal_levels_passed_in():
     pred = model.apply(variables, latents=latents, signal_levels=signal_levels,
                        step_sizes_log2=step_sizes_log2, latent_is_noised=True,
                        rngs={'sample': jax.random.PRNGKey(2)})
-    assert pred.flow.shape == (2, 4, 4, 16)
+    assert pred.flow.shape == (2, 4, 1, 4, 16)  # (b, t, views, n, d)
 
 
 def test_inference_pred_with_cache():
