@@ -119,6 +119,7 @@ class VideoDecoderNetwork(nn.Module):
     slot_attention_inverted: bool = True
     slot_spatial_mix: bool = False
     num_spatial_tokens: int | None = None
+    use_flash_attention: bool = False
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -152,6 +153,7 @@ class VideoDecoderNetwork(nn.Module):
             num_special_tokens=self.num_latent_tokens + int(self.has_aug_conditioning),
             special_attend_only_itself=True,  # latents attend only to themselves
             full_spatial_attn=self.full_spatial_attn,
+            use_flash_attention=self.use_flash_attention,
             dtype=self.dtype,
             name='transformer',
         )
@@ -279,6 +281,7 @@ class VideoTokenizer(nn.Module):
     latent_sigreg_loss_weight: float = 0.0
     latent_sigreg_num_slices: int = 256
     latent_consistency_loss_weight: float = 0.0
+    use_flash_attention: bool = False
     dtype: jnp.dtype | None = None
 
     @property
@@ -348,6 +351,7 @@ class VideoTokenizer(nn.Module):
             num_special_tokens=self.num_latent_tokens + int(self.has_aug_conditioning),
             full_spatial_attn=self.encoder_full_spatial_attn,
             final_norm=True,
+            use_flash_attention=self.use_flash_attention,
             dtype=self.dtype,
             name='encoder_transformer',
         )
@@ -376,6 +380,7 @@ class VideoTokenizer(nn.Module):
             slot_attention_inverted=self.slot_attention_inverted,
             slot_spatial_mix=self.decoder_slot_spatial_mix,
             num_spatial_tokens=(self.image_height // p) * (self.image_width // p),
+            use_flash_attention=self.use_flash_attention,
             dtype=self.dtype,
         )
         self.decoder = VideoDecoderNetwork(**decoder_kwargs, name='decoder')

@@ -97,6 +97,8 @@ class AxialSpaceTimeTransformer(nn.Module):
     rnn_time: bool = False
     use_attn_pool: bool = True
     mot_temporal: bool = False  # separate attn/ff weights for special tokens on time layers
+    use_flash_attention: bool = False  # fused Pallas kernel for masked attention (TPU)
+    flash_min_scores: int = 128 * 128  # min q_len*k_len before the kernel beats plain XLA
     ff_expansion_factor: float = 4.0
     ff_activation: str = 'silu'
     gate_values: bool = True
@@ -163,19 +165,44 @@ class AxialSpaceTimeTransformer(nn.Module):
 
         num_spatial_special = 0 if self.full_spatial_attn else self.num_special_tokens
 
-        # masks — static shapes, traced causal offset
-        space_mask = build_attend_mask(
-            s, s,
-            num_special=num_spatial_special,
-            block_size_per_special=s,
-            special_attend_only_itself=self.special_attend_only_itself,
-        )
-        if has_cache:
-            first_kv = cache.kv[0] if self.num_time_layers > 0 else None
-            if first_kv is not None and not isinstance(first_kv, KVCache):
+        # attention k-length for time layers (cache buffer size when cached)
+        if has_cache and self.num_time_layers > 0:
+            first_kv = cache.kv[0]
+            if not isinstance(first_kv, KVCache):
                 first_kv = first_kv[0]  # MoT layer: (main, special) cache pair
-            k_len = first_kv.k.shape[-2] if first_kv is not None else t
-            j = jnp.arange(k_len)
+            time_k_len = first_kv.k.shape[-2]
+        else:
+            time_k_len = t
+
+        # masks — dense for the jnp path, structured FlashSpecs for the fused
+        # Pallas kernel. The kernel wins on large score matrices (training over
+        # long sequences: measured ~69x over the XLA lowering at 1024^2) but
+        # loses to plain fused matmuls at tiny decode shapes, so gate on the
+        # static score-matrix size.
+        use_flash_time = self.use_flash_attention and t * time_k_len >= self.flash_min_scores
+        use_flash_space = self.use_flash_attention and s * s >= self.flash_min_scores
+
+        space_mask = time_mask = None
+        space_flash = time_flash = None
+        from ..nn.attention import FlashSpec
+
+        if use_flash_space:
+            space_flash = FlashSpec(
+                causal=False,
+                num_special=num_spatial_special,
+                special_seq_len=s,
+                special_attend_only_itself=self.special_attend_only_itself)
+        else:
+            space_mask = build_attend_mask(
+                s, s,
+                num_special=num_spatial_special,
+                block_size_per_special=s,
+                special_attend_only_itself=self.special_attend_only_itself,
+            )
+        if use_flash_time:
+            time_flash = FlashSpec(causal=True)
+        elif has_cache:
+            j = jnp.arange(time_k_len)
             i = jnp.arange(t)
             time_mask = j[None, :] <= (token_count + i[:, None])
         else:
@@ -244,11 +271,13 @@ class AxialSpaceTimeTransformer(nn.Module):
                 out_m = Attention(**attn_common, value_residual=self.value_residual,
                                   name=f'attn_{i}')(
                     m_tm, kv_cache=lc_m, rotary=time_rotary, mask=time_mask,
-                    residual_values=rv_m)
+                    residual_values=rv_m, flash_spec=time_flash,
+                    flash_offset=token_count)
                 out_s = Attention(**attn_common, value_residual=self.value_residual,
                                   name=f'special_attn_{i}')(
                     s_tm, kv_cache=lc_s, rotary=time_rotary, mask=time_mask,
-                    residual_values=rv_s)
+                    residual_values=rv_s, flash_spec=time_flash,
+                    flash_offset=token_count)
                 delta = jnp.concatenate([
                     _from_time_major(out_m.out, m_shape),
                     _from_time_major(out_s.out, s_shape)], axis=2)
@@ -267,6 +296,8 @@ class AxialSpaceTimeTransformer(nn.Module):
                     rotary=time_rotary,
                     mask=time_mask,
                     residual_values=rv_tm,
+                    flash_spec=time_flash,
+                    flash_offset=token_count,
                 )
                 tokens = tokens + _from_time_major(attn_out.out, bs_shape)
                 if attn_out.cache is not None:
@@ -280,6 +311,7 @@ class AxialSpaceTimeTransformer(nn.Module):
                     x_sm,
                     mask=space_mask,
                     residual_values=rv_sm,
+                    flash_spec=space_flash,
                 )
                 tokens = tokens + _from_space_major(attn_out.out, bt_shape)
                 normed_space_inputs.append(attn_out.normed_inputs)

@@ -167,6 +167,7 @@ class DynamicsWorldModel(nn.Module):
     latent_ar_loss_weight: float = 0.0
     latent_ar_sigreg_loss_weight: float = 0.05
     use_loss_normalization: bool = False
+    use_flash_attention: bool = False
     # RL hyperparameters (consumed by models/rl.py)
     gae_discount_factor: float = 0.997
     gae_lambda: float = 0.95
@@ -358,6 +359,7 @@ class DynamicsWorldModel(nn.Module):
             time_block_every=self.time_block_every,
             num_special_tokens=num_special,
             final_norm=False,
+            use_flash_attention=self.use_flash_attention,
             dtype=self.dtype,
         )
         self.transformer = AxialSpaceTimeTransformer(

@@ -46,6 +46,15 @@ class KVCache(NamedTuple):
         return KVCache(k, v, start + k_new.shape[-2])
 
 
+class FlashSpec(NamedTuple):
+    """Static mask description for the fused Pallas kernel (traced offset /
+    kv-length are supplied alongside)."""
+    causal: bool = False
+    num_special: int = 0
+    special_seq_len: int = 0
+    special_attend_only_itself: bool = False
+
+
 class AttentionOut(NamedTuple):
     out: jax.Array
     cache: KVCache | None
@@ -80,6 +89,8 @@ class Attention(nn.Module):
         rotary: jax.Array | None = None,      # (n_abs, dim_head) angles
         mask: jax.Array | None = None,        # (n, j) or broadcastable
         residual_values: jax.Array | None = None,  # (B, n, heads, dim_head)
+        flash_spec: FlashSpec | None = None,  # use the fused Pallas kernel
+        flash_offset: jax.Array | int = 0,    # causal offset (token count)
     ) -> AttentionOut:
         q_heads = self.query_heads if self.query_heads is not None else self.heads
         assert q_heads >= self.heads and q_heads % self.heads == 0
@@ -128,11 +139,30 @@ class Attention(nn.Module):
             v_for_belief = v
 
         new_cache = None
+        kv_len = None
         if kv_cache is not None:
             new_cache = kv_cache.append(k, v)
             k, v = new_cache.k, new_cache.v
+            kv_len = new_cache.length
 
-        out = naive_attend(q, k, v, mask=mask, softclamp_value=self.softclamp_value)
+        if flash_spec is not None:
+            from ..ops.flash_attention import flash_attend, make_config
+
+            config = make_config(
+                softclamp_value=self.softclamp_value,
+                causal=flash_spec.causal,
+                num_special=flash_spec.num_special,
+                special_seq_len=flash_spec.special_seq_len,
+                special_attend_only_itself=flash_spec.special_attend_only_itself,
+                interpret=jax.default_backend() != 'tpu',
+            )
+            out = flash_attend(
+                q, k, v,
+                jnp.asarray(flash_offset, jnp.int32),
+                jnp.asarray(kv_len if kv_len is not None else k.shape[-2], jnp.int32),
+                config)
+        else:
+            out = naive_attend(q, k, v, mask=mask, softclamp_value=self.softclamp_value)
 
         # BeliefFormer: remove the component of out parallel to the values
         # (reference `dreamer4.py:2045-2054`)
