@@ -227,11 +227,19 @@ def cmd_serve_world_model(argv):
 def cmd_inspect_replay_buffer(argv):
     p = argparse.ArgumentParser(prog='inspect-replay-buffer')
     p.add_argument('--buffer', type=str, required=True)
+    p.add_argument('--serve', action='store_true', help='start the web inspector')
+    p.add_argument('--port', type=int, default=8001)
     args = p.parse_args(argv)
 
     from .data.replay_buffer import ReplayBuffer
 
     buf = ReplayBuffer.open(args.buffer)
+
+    if args.serve:
+        from .serve.server import InspectReplayBufferServer
+
+        InspectReplayBufferServer(buf, port=args.port).serve_forever()
+        return
     lengths = [buf.episode_length(i) for i in range(buf.num_episodes)]
     print(json.dumps(dict(
         folder=str(args.buffer),

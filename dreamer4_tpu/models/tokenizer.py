@@ -120,6 +120,10 @@ class VideoDecoderNetwork(nn.Module):
     slot_spatial_mix: bool = False
     num_spatial_tokens: int | None = None
     use_flash_attention: bool = False
+    time_attention_use_pope: bool = False
+    space_attention_use_pope: bool = False
+    image_height: int | None = None
+    image_width: int | None = None
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -154,6 +158,12 @@ class VideoDecoderNetwork(nn.Module):
             special_attend_only_itself=True,  # latents attend only to themselves
             full_spatial_attn=self.full_spatial_attn,
             use_flash_attention=self.use_flash_attention,
+            time_attention_use_pope=self.time_attention_use_pope,
+            space_attention_use_pope=self.space_attention_use_pope,
+            space_height=(self.image_height // self.patch_size
+                          if self.image_height is not None else None),
+            space_width=(self.image_width // self.patch_size
+                         if self.image_width is not None else None),
             dtype=self.dtype,
             name='transformer',
         )
@@ -282,6 +292,8 @@ class VideoTokenizer(nn.Module):
     latent_sigreg_num_slices: int = 256
     latent_consistency_loss_weight: float = 0.0
     use_flash_attention: bool = False
+    time_attention_use_pope: bool = False
+    space_attention_use_pope: bool = False
     dtype: jnp.dtype | None = None
 
     @property
@@ -352,6 +364,10 @@ class VideoTokenizer(nn.Module):
             full_spatial_attn=self.encoder_full_spatial_attn,
             final_norm=True,
             use_flash_attention=self.use_flash_attention,
+            time_attention_use_pope=self.time_attention_use_pope,
+            space_attention_use_pope=self.space_attention_use_pope,
+            space_height=self.image_height // p,
+            space_width=self.image_width // p,
             dtype=self.dtype,
             name='encoder_transformer',
         )
@@ -381,6 +397,10 @@ class VideoTokenizer(nn.Module):
             slot_spatial_mix=self.decoder_slot_spatial_mix,
             num_spatial_tokens=(self.image_height // p) * (self.image_width // p),
             use_flash_attention=self.use_flash_attention,
+            time_attention_use_pope=self.time_attention_use_pope,
+            space_attention_use_pope=self.space_attention_use_pope,
+            image_height=self.image_height,
+            image_width=self.image_width,
             dtype=self.dtype,
         )
         self.decoder = VideoDecoderNetwork(**decoder_kwargs, name='decoder')

@@ -99,6 +99,10 @@ class AxialSpaceTimeTransformer(nn.Module):
     mot_temporal: bool = False  # separate attn/ff weights for special tokens on time layers
     use_flash_attention: bool = False  # fused Pallas kernel for masked attention (TPU)
     flash_min_scores: int = 128 * 128  # min q_len*k_len before the kernel beats plain XLA
+    time_attention_use_pope: bool = False   # learned per-head rotary (PoPE) on time attn
+    space_attention_use_pope: bool = False  # axial PoPE on space attn (grid-leading layouts)
+    space_height: int | None = None
+    space_width: int | None = None
     ff_expansion_factor: float = 4.0
     ff_activation: str = 'silu'
     gate_values: bool = True
@@ -142,6 +146,8 @@ class AxialSpaceTimeTransformer(nn.Module):
         cache: TransformerCache | None = None,
         max_time: int | None = None,
         return_intermediates: bool = False,
+        space_height: int | None = None,
+        space_width: int | None = None,
     ):
         b, t_full, s, d = tokens.shape
 
@@ -208,7 +214,24 @@ class AxialSpaceTimeTransformer(nn.Module):
         else:
             time_mask = build_attend_mask(t, t, causal=True)
 
-        time_rotary = rotary_frequencies(self.attn_dim_head, t, offset=token_count)
+        if self.time_attention_use_pope:
+            from ..nn.pope import PoPE
+
+            time_rotary = PoPE(self.attn_dim_head, self.attn_heads,
+                               name='time_pope')(t, offset=token_count)
+        else:
+            time_rotary = rotary_frequencies(self.attn_dim_head, t, offset=token_count)
+
+        space_rotary = None
+        if self.space_attention_use_pope:
+            from ..nn.pope import AxialPoPE
+
+            sh = space_height if space_height is not None else self.space_height
+            sw = space_width if space_width is not None else self.space_width
+            assert sh is not None and sw is not None, \
+                'space PoPE needs space_height/space_width (grid-leading layout)'
+            space_rotary = AxialPoPE(self.attn_dim_head, self.attn_heads,
+                                     name='space_pope')(sh, sw, num_special=s - sh * sw)
 
         # learned value residual, projected once from the input (reference
         # `dreamer4.py:2814-2825`)
@@ -309,6 +332,7 @@ class AxialSpaceTimeTransformer(nn.Module):
                 rv_sm = _to_space_major(residual_values)[0] if residual_values is not None else None
                 attn_out = Attention(**attn_common, value_residual=self.value_residual, name=f'attn_{i}')(
                     x_sm,
+                    rotary=space_rotary,
                     mask=space_mask,
                     residual_values=rv_sm,
                     flash_spec=space_flash,

@@ -168,6 +168,7 @@ class DynamicsWorldModel(nn.Module):
     latent_ar_sigreg_loss_weight: float = 0.05
     use_loss_normalization: bool = False
     use_flash_attention: bool = False
+    time_attention_use_pope: bool = False
     # RL hyperparameters (consumed by models/rl.py)
     gae_discount_factor: float = 0.997
     gae_lambda: float = 0.95
@@ -360,6 +361,7 @@ class DynamicsWorldModel(nn.Module):
             num_special_tokens=num_special,
             final_norm=False,
             use_flash_attention=self.use_flash_attention,
+            time_attention_use_pope=self.time_attention_use_pope,
             dtype=self.dtype,
         )
         self.transformer = AxialSpaceTimeTransformer(

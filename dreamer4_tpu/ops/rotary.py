@@ -19,12 +19,18 @@ def rotary_frequencies(dim_head: int, seq_len: int, offset: jax.Array | int = 0,
 
 
 def apply_rotations(rotations: jax.Array, t: jax.Array) -> jax.Array:
-    """rotations: (n, d) or (..., n, d); t: (..., h, n, d). When the rotation
+    """rotations: (n, d) or (heads, n, d); t: (..., h, n, d). When the rotation
     table is longer than the sequence, the tail is used (KV-cache decode,
-    reference `dreamer4.py:1636-1639`)."""
+    reference `dreamer4.py:1636-1639`); per-head rotations with fewer heads
+    than t are group-repeated (GQA, reference `dreamer4.py:1646-1651`)."""
     seq_len = t.shape[-2]
     if rotations.shape[-2] > seq_len:
         rotations = rotations[..., -seq_len:, :]
+
+    if rotations.ndim == 3 and rotations.shape[0] != t.shape[-3]:
+        heads = t.shape[-3]
+        assert heads % rotations.shape[0] == 0
+        rotations = jnp.repeat(rotations, heads // rotations.shape[0], axis=0)
 
     dtype = t.dtype
     t = t.astype(jnp.float32)

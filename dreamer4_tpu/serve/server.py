@@ -155,3 +155,120 @@ class WebEnvServer:
 
     def shutdown(self):
         self.httpd.shutdown()
+
+
+_INSPECT_HTML = """<!doctype html>
+<html><head><title>replay buffer inspector</title>
+<style>
+ body { font-family: monospace; background: #111; color: #eee; padding: 2em; }
+ img { image-rendering: pixelated; height: 96px; margin: 2px; border: 1px solid #333; }
+ .ep { cursor: pointer; color: #8cf; }
+</style></head>
+<body>
+<h2>replay buffer</h2>
+<pre id="stats"></pre>
+<div id="episodes"></div>
+<div id="frames"></div>
+<script>
+async function load() {
+  const stats = await (await fetch('/api/stats')).json();
+  document.getElementById('stats').innerText = JSON.stringify(stats, null, 2);
+  const eps = await (await fetch('/api/episodes')).json();
+  document.getElementById('episodes').innerHTML = eps.episodes.map(
+    e => `<div class="ep" onclick="show(${e.index})">episode ${e.index}: len ${e.length}, return ${e.total_reward.toFixed(2)}</div>`
+  ).join('');
+}
+async function show(i) {
+  const ep = await (await fetch('/api/episode/' + i)).json();
+  document.getElementById('frames').innerHTML =
+    (ep.frames || []).map(f => `<img src="data:image/png;base64,${f}"/>`).join('');
+}
+load();
+</script>
+</body></html>"""
+
+
+class InspectReplayBufferServer:
+    """Replay-buffer web inspector (reference `web_env/inspect_server.py:37-178`):
+    /api/stats, /api/episodes, /api/episode/<id> with base64 PNG frames."""
+
+    def __init__(self, buffer, port: int = 8001, host: str = '0.0.0.0',
+                 max_frames: int = 64):
+        self.buffer = buffer
+        self.port = port
+        self.host = host
+        self.max_frames = max_frames
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):
+                pass
+
+            def _json(self, obj, code=200):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header('Content-Type', 'application/json')
+                self.send_header('Content-Length', str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                buf = outer.buffer
+                if self.path in ('/', '/index.html'):
+                    body = _INSPECT_HTML.encode()
+                    self.send_response(200)
+                    self.send_header('Content-Type', 'text/html')
+                    self.send_header('Content-Length', str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path == '/api/stats':
+                    lengths = [buf.episode_length(i) for i in range(buf.num_episodes)]
+                    self._json(dict(
+                        num_episodes=buf.num_episodes,
+                        max_episodes=buf.max_episodes,
+                        max_timesteps=buf.max_timesteps,
+                        fields={k: [str(np.dtype(d)), list(s)]
+                                for k, (d, s) in buf.fields.items()},
+                        mean_episode_length=float(np.mean(lengths)) if lengths else 0.0,
+                    ))
+                elif self.path == '/api/episodes':
+                    out = []
+                    for i in range(buf.num_episodes):
+                        ep = buf.get_episode(i)
+                        out.append(dict(
+                            index=i,
+                            length=int(ep['_length']),
+                            total_reward=float(np.sum(ep.get('rewards', 0.0))),
+                        ))
+                    self._json(dict(episodes=out))
+                elif self.path.startswith('/api/episode/'):
+                    idx = int(self.path.rsplit('/', 1)[1])
+                    if not (0 <= idx < buf.num_episodes):
+                        return self._json({'error': 'out of range'}, 404)
+                    ep = buf.get_episode(idx)
+                    frames = []
+                    video = ep.get('video')
+                    if video is not None:
+                        for t in range(min(len(video), outer.max_frames)):
+                            frame = video[t]
+                            if frame.dtype == np.uint8:
+                                frame = frame.astype(np.float32) / 255.0
+                            frames.append(base64.b64encode(encode_png(frame)).decode())
+                    self._json(dict(
+                        index=idx,
+                        length=int(ep['_length']),
+                        rewards=np.asarray(ep.get('rewards', [])).tolist(),
+                        terminated=np.asarray(ep.get('terminated', [])).tolist(),
+                        frames=frames,
+                    ))
+                else:
+                    self._json({'error': 'not found'}, 404)
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+
+    def serve_forever(self):
+        print(f'inspecting on http://{self.host}:{self.port}')
+        self.httpd.serve_forever()
+
+    def shutdown(self):
+        self.httpd.shutdown()

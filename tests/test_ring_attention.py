@@ -1,0 +1,53 @@
+"""Ring attention: multi-device (8-way virtual CPU mesh) vs single-device
+full attention — the mesh-sharded parity idiom from SURVEY.md section 4."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh
+
+from dreamer4_tpu.ops.attention import naive_attend
+from dreamer4_tpu.ops.masks import build_attend_mask
+from dreamer4_tpu.parallel.ring_attention import make_ring_attention
+
+
+@pytest.fixture(scope='module')
+def mesh():
+    devices = mesh_utils.create_device_mesh((8,))
+    return Mesh(devices, ('sp',))
+
+
+@pytest.mark.parametrize('causal', [True, False])
+def test_ring_matches_full(mesh, causal):
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, h, n, d = 2, 2, 64, 16  # 8 frames per device
+    q = jax.random.normal(kq, (b, h, n, d))
+    k = jax.random.normal(kk, (b, h, n, d))
+    v = jax.random.normal(kv, (b, h, n, d))
+
+    ring = make_ring_attention(mesh, 'sp', causal=causal)
+    out_ring = jax.jit(ring)(q, k, v)
+
+    mask = build_attend_mask(n, n, causal=causal)
+    out_full = naive_attend(q, k, v, mask=mask, softclamp_value=50.0)
+
+    np.testing.assert_allclose(np.asarray(out_ring), np.asarray(out_full),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_ring_gqa(mesh):
+    key = jax.random.PRNGKey(1)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, 4, 32, 16))
+    k = jax.random.normal(kk, (1, 2, 32, 16))
+    v = jax.random.normal(kv, (1, 2, 32, 16))
+
+    ring = make_ring_attention(mesh, 'sp', causal=True)
+    out_ring = jax.jit(ring)(q, k, v)
+
+    mask = build_attend_mask(32, 32, causal=True)
+    out_full = naive_attend(q, k, v, mask=mask, softclamp_value=50.0)
+    np.testing.assert_allclose(np.asarray(out_ring), np.asarray(out_full),
+                               atol=2e-5, rtol=1e-4)

@@ -165,3 +165,56 @@ def test_cli_help():
     from dreamer4_tpu.cli import main
     assert main([]) == 0
     assert main(['bogus']) == 1
+
+
+def test_inspect_server(tmp_path):
+    import numpy as np
+
+    from dreamer4_tpu.serve.server import InspectReplayBufferServer
+
+    buf = ReplayBuffer(
+        tmp_path / 'ibuf', max_episodes=4, max_timesteps=10,
+        fields=dict(video=('uint8', (3, 8, 8)), rewards='float', terminated='bool'))
+    rng = np.random.default_rng(0)
+    with buf.one_episode():
+        for t in range(4):
+            buf.store(video=(rng.random((3, 8, 8)) * 255).astype('uint8'),
+                      rewards=float(t), terminated=False)
+
+    server = InspectReplayBufferServer(buf, port=18733, host='127.0.0.1')
+    thread = threading.Thread(target=server.httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen('http://127.0.0.1:18733/api/stats', timeout=5) as r:
+            stats = json.loads(r.read())
+        assert stats['num_episodes'] == 1
+        with urllib.request.urlopen('http://127.0.0.1:18733/api/episodes', timeout=5) as r:
+            eps = json.loads(r.read())
+        assert eps['episodes'][0]['length'] == 4
+        assert eps['episodes'][0]['total_reward'] == 6.0
+        with urllib.request.urlopen('http://127.0.0.1:18733/api/episode/0', timeout=5) as r:
+            ep = json.loads(r.read())
+        assert len(ep['frames']) == 4
+    finally:
+        server.shutdown()
+
+
+def test_metric_logger(tmp_path):
+    import numpy as np
+
+    from dreamer4_tpu.train.logging import MetricLogger, timeit
+
+    logger = MetricLogger(tmp_path / 'logs', use_tensorboard=False)
+    logger.log(0, loss=1.5, reward=0.2)
+    logger.log(1, loss=1.2)
+    logger.log_video(1, 'sample', np.random.default_rng(0).random((2, 3, 2, 4, 4)))
+    logger.close()
+
+    lines = (tmp_path / 'logs' / 'metrics.jsonl').read_text().strip().split('\n')
+    assert len(lines) == 2
+    assert json.loads(lines[0])['loss'] == 1.5
+    assert list((tmp_path / 'logs').glob('sample_*.gif'))
+
+    import jax.numpy as jnp
+    dt = timeit(jax.jit(lambda x: x * 2), jnp.ones((8, 8)), iters=2)
+    assert dt > 0
