@@ -47,10 +47,15 @@ class EnvInteractor:
     pair so repeated interactions reuse the compiled programs."""
 
     def __init__(self, model: DynamicsWorldModel, tokenizer=None,
-                 obs_to_latents_fn: Callable | None = None):
+                 obs_to_latents_fn: Callable | None = None,
+                 aux_image_encoder_fn: Callable | None = None):
         self.model = model
         self.tokenizer = tokenizer
         self.obs_to_latents_fn = obs_to_latents_fn
+        # optional aux image encoder: extra latent tokens concatenated after
+        # the tokenizer's (reference aux_image_encoder, `dreamer4.py:5386-5404`;
+        # size them into the model's num_latent_tokens)
+        self.aux_image_encoder_fn = aux_image_encoder_fn
 
         self.na_d = len([n for n in model.num_discrete_actions if n > 0])
         self.na_c = model.num_continuous_actions
@@ -137,10 +142,17 @@ class EnvInteractor:
         if self.obs_to_latents_fn is not None:
             return self.obs_to_latents_fn(obs, tok_cache)
         if 'image' in obs:
-            assert self.tokenizer is not None, 'tokenizer required for image observations'
+            assert self.tokenizer is not None or self.aux_image_encoder_fn is not None, \
+                'tokenizer or aux encoder required for image observations'
             frame = jnp.asarray(obs['image'], jnp.float32)[:, :, None]  # (b, c, 1, h, w)
-            latents, new_cache = self._tokenize_step(tok_vars, frame, tok_cache,
-                                                     max_time=max_time if tok_cache is None else None)
+            latents, new_cache = None, tok_cache
+            if self.tokenizer is not None:
+                latents, new_cache = self._tokenize_step(
+                    tok_vars, frame, tok_cache,
+                    max_time=max_time if tok_cache is None else None)
+            if self.aux_image_encoder_fn is not None:
+                aux = self.aux_image_encoder_fn(frame)
+                latents = aux if latents is None else jnp.concatenate([latents, aux], axis=-2)
             return latents, new_cache
         assert self.model.dim_state is not None, 'dim_state required for state observations'
         state = jnp.asarray(obs['state'], jnp.float32)

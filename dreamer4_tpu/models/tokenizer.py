@@ -122,6 +122,7 @@ class VideoDecoderNetwork(nn.Module):
     use_flash_attention: bool = False
     time_attention_use_pope: bool = False
     space_attention_use_pope: bool = False
+    moss_layers: tuple = ()
     image_height: int | None = None
     image_width: int | None = None
     dtype: jnp.dtype | None = None
@@ -164,6 +165,7 @@ class VideoDecoderNetwork(nn.Module):
                           if self.image_height is not None else None),
             space_width=(self.image_width // self.patch_size
                          if self.image_width is not None else None),
+            spatial_module_layers=tuple(self.moss_layers),
             dtype=self.dtype,
             name='transformer',
         )
@@ -294,6 +296,13 @@ class VideoTokenizer(nn.Module):
     use_flash_attention: bool = False
     time_attention_use_pope: bool = False
     space_attention_use_pope: bool = False
+    encoder_moss_layers: tuple = ()
+    decoder_moss_layers: tuple = ()
+    use_time_rnn: bool = False
+    h_net_layer: int | None = None
+    h_net_depth: int = 2
+    h_net_compression_ratio: int = 4
+    h_net_loss_weight: float = 1.0
     dtype: jnp.dtype | None = None
 
     @property
@@ -368,6 +377,11 @@ class VideoTokenizer(nn.Module):
             space_attention_use_pope=self.space_attention_use_pope,
             space_height=self.image_height // p,
             space_width=self.image_width // p,
+            spatial_module_layers=tuple(self.encoder_moss_layers),
+            rnn_time=self.use_time_rnn,
+            h_net_layer=self.h_net_layer,
+            h_net_depth=self.h_net_depth,
+            h_net_compression_ratio=self.h_net_compression_ratio,
             dtype=self.dtype,
             name='encoder_transformer',
         )
@@ -399,6 +413,7 @@ class VideoTokenizer(nn.Module):
             use_flash_attention=self.use_flash_attention,
             time_attention_use_pope=self.time_attention_use_pope,
             space_attention_use_pope=self.space_attention_use_pope,
+            moss_layers=tuple(self.decoder_moss_layers),
             image_height=self.image_height,
             image_width=self.image_width,
             dtype=self.dtype,
@@ -729,6 +744,8 @@ class VideoTokenizer(nn.Module):
             latent_sigreg_loss = sigreg(
                 self.make_rng('sample'), latents[None], num_slices=self.latent_sigreg_num_slices)
 
+        h_net_loss = getattr(interm, 'h_net_loss', 0.0)
+
         # ---- flow-noised decoding (reference `dreamer4.py:4440-4479`)
         use_flow_decoder = False
         if self.has_flow:
@@ -846,6 +863,7 @@ class VideoTokenizer(nn.Module):
             + latent_ar_sigreg_loss * self.latent_ar_sigreg_loss_weight
             + latent_sigreg_loss * self.latent_sigreg_loss_weight
             + byol_loss * self.byol_loss_weight
+            + h_net_loss * self.h_net_loss_weight
         )
 
         if not return_intermediates:

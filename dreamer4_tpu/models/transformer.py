@@ -34,7 +34,9 @@ from ..ops.rotary import rotary_frequencies
 class TransformerCache(NamedTuple):
     kv: tuple          # one KVCache per time layer
     token_count: jax.Array
-    rnn: tuple | None  # one GRU carry per time layer when rnn_time
+    rnn: tuple | None = None              # one GRU carry per time layer when rnn_time
+    spatial_modules: tuple | None = None  # one conv time-cache per spatial module
+    h_net: object | None = None           # HNetCache when h_net_layer is set
 
 
 class TransformerOutputs(NamedTuple):
@@ -44,6 +46,7 @@ class TransformerOutputs(NamedTuple):
     normed_space_inputs: jax.Array | None  # (num_space_layers, b*t, s, d)
     layer_hiddens: list
     token_count: jax.Array | int
+    h_net_loss: jax.Array | float = 0.0
 
 
 def _to_time_major(x):
@@ -103,6 +106,13 @@ class AxialSpaceTimeTransformer(nn.Module):
     space_attention_use_pope: bool = False  # axial PoPE on space attn (grid-leading layouts)
     space_height: int | None = None
     space_width: int | None = None
+    spatial_module_layers: tuple = ()       # layer indices with a MOSS spatial module
+    spatial_module_kernel_size: int = 3
+    h_net_layer: int | None = None          # splice the hierarchical temporal transformer here
+    h_net_depth: int = 2
+    h_net_heads: int = 4
+    h_net_dim_head: int = 32
+    h_net_compression_ratio: int = 4
     ff_expansion_factor: float = 4.0
     ff_activation: str = 'silu'
     gate_values: bool = True
@@ -137,7 +147,26 @@ class AxialSpaceTimeTransformer(nn.Module):
         rnn = None
         if self.rnn_time:
             rnn = tuple(jnp.zeros((batch * space_len, self.dim), dtype=dtype) for _ in range(self.num_time_layers))
-        return TransformerCache(kv=kv, token_count=jnp.zeros((), jnp.int32), rnn=rnn)
+        spatial = None
+        if self.spatial_module_layers:
+            assert self.space_height is not None and self.space_width is not None
+            pad = self.spatial_module_kernel_size - 1
+            spatial = tuple(
+                jnp.zeros((batch, pad, self.space_height, self.space_width, self.dim), dtype=dtype)
+                for _ in self.spatial_module_layers)
+        h_net = None
+        if self.h_net_layer is not None:
+            from ..nn.hnet import HierarchicalTemporalTransformer
+
+            max_chunks = -(-max_time // self.h_net_compression_ratio)
+            h_net = HierarchicalTemporalTransformer(
+                dim=self.dim, depth=self.h_net_depth, heads=self.h_net_heads,
+                dim_head=self.h_net_dim_head,
+                compression_ratio=self.h_net_compression_ratio,
+                parent=None,  # detached: init_cache is pure, no params
+            ).init_cache(batch * space_len, max_chunks, dtype=dtype)
+        return TransformerCache(kv=kv, token_count=jnp.zeros((), jnp.int32), rnn=rnn,
+                                spatial_modules=spatial, h_net=h_net)
 
     @nn.compact
     def __call__(
@@ -257,8 +286,11 @@ class AxialSpaceTimeTransformer(nn.Module):
 
         new_kv_caches = []
         new_rnn_carries = []
+        new_spatial_caches = []
         normed_time_inputs = []
         normed_space_inputs = []
+        h_net_loss = jnp.zeros(())
+        new_h_net_cache = None
 
         layer_hiddens = [tokens]
         hiddens = []
@@ -340,6 +372,33 @@ class AxialSpaceTimeTransformer(nn.Module):
                 tokens = tokens + _from_space_major(attn_out.out, bt_shape)
                 normed_space_inputs.append(attn_out.normed_inputs)
 
+            # hierarchical temporal transformer splice (reference
+            # `dreamer4.py:3151-3170`)
+            if self.h_net_layer is not None and i == self.h_net_layer:
+                from ..nn.hnet import HierarchicalTemporalTransformer
+
+                hnet = HierarchicalTemporalTransformer(
+                    dim=self.dim, depth=self.h_net_depth, heads=self.h_net_heads,
+                    dim_head=self.h_net_dim_head,
+                    compression_ratio=self.h_net_compression_ratio,
+                    name='h_net')
+                x_tm, bs_shape = _to_time_major(tokens)
+                if has_cache and continuing:
+                    x_tm, _, new_h_net_cache = hnet(x_tm, cache=cache.h_net)
+                elif has_cache:
+                    # fresh-cache prefill: step the streaming path per frame so
+                    # the returned cache is valid for subsequent decode
+                    hn_c = cache.h_net
+                    outs = []
+                    for ti in range(t):
+                        o, _, hn_c = hnet(x_tm[:, ti:ti + 1], cache=hn_c)
+                        outs.append(o)
+                    x_tm = jnp.concatenate(outs, axis=1)
+                    new_h_net_cache = hn_c
+                else:
+                    x_tm, h_net_loss, _ = hnet(x_tm, cache=None)
+                tokens = _from_time_major(x_tm, bs_shape)
+
             layer_hiddens.append(tokens)
 
             # feedforward (split weights for special tokens on MoT layers)
@@ -357,6 +416,25 @@ class AxialSpaceTimeTransformer(nn.Module):
                 tokens = jnp.concatenate([main_tok, sp_tok], axis=2)
             else:
                 tokens = tokens + FeedForward(**ff_kwargs, name=f'ff_{i}')(tokens)
+
+            # MOSS-style spatial module on the grid tokens (reference
+            # `dreamer4.py:3193-3214`)
+            if i in self.spatial_module_layers:
+                from ..nn.moss import MOSS
+
+                sh = space_height if space_height is not None else self.space_height
+                sw = space_width if space_width is not None else self.space_width
+                assert sh is not None and sw is not None
+                sm_idx = self.spatial_module_layers.index(i)
+                sm_cache = (cache.spatial_modules[sm_idx]
+                            if has_cache and cache.spatial_modules is not None else None)
+                grid = tokens[:, :, : sh * sw].reshape(b, t, sh, sw, self.dim)
+                grid, sm_next = MOSS(self.dim, self.spatial_module_kernel_size,
+                                     name=f'spatial_module_{i}')(
+                    grid, cache=sm_cache, return_cache=True)
+                tokens = jnp.concatenate(
+                    [grid.reshape(b, t, sh * sw, self.dim), tokens[:, :, sh * sw:]], axis=2)
+                new_spatial_caches.append(sm_next)
 
             layer_hiddens.append(tokens)
             hiddens.append(tokens)
@@ -411,6 +489,8 @@ class AxialSpaceTimeTransformer(nn.Module):
                 kv=tuple(new_kv_caches),
                 token_count=token_count + t,
                 rnn=tuple(new_rnn_carries) if self.rnn_time else None,
+                spatial_modules=tuple(new_spatial_caches) if self.spatial_module_layers else None,
+                h_net=new_h_net_cache if self.h_net_layer is not None else None,
             )
 
         if not return_intermediates:
@@ -423,5 +503,6 @@ class AxialSpaceTimeTransformer(nn.Module):
             normed_space_inputs=jnp.stack(normed_space_inputs) if normed_space_inputs else None,
             layer_hiddens=layer_hiddens,
             token_count=token_count + t,
+            h_net_loss=h_net_loss,
         )
         return out, outputs

@@ -169,6 +169,8 @@ class DynamicsWorldModel(nn.Module):
     use_loss_normalization: bool = False
     use_flash_attention: bool = False
     time_attention_use_pope: bool = False
+    use_time_rnn: bool = False
+    mot_temporal: bool = False
     # RL hyperparameters (consumed by models/rl.py)
     gae_discount_factor: float = 0.997
     gae_lambda: float = 0.95
@@ -362,6 +364,8 @@ class DynamicsWorldModel(nn.Module):
             final_norm=False,
             use_flash_attention=self.use_flash_attention,
             time_attention_use_pope=self.time_attention_use_pope,
+            rnn_time=self.use_time_rnn,
+            mot_temporal=self.mot_temporal,
             dtype=self.dtype,
         )
         self.transformer = AxialSpaceTimeTransformer(

@@ -94,3 +94,14 @@ def evolve_latent_genes(
     children = parents[:, 0] + (parents[:, 1] - parents[:, 0]) * mix
 
     return jnp.concatenate([selected, children], axis=0)
+
+
+def evolve_params(key: jax.Array, params, fitness: jax.Array,
+                  gene_key: str = 'latent_genes', **kwargs):
+    """Apply `evolve_latent_genes` to the world model's latent-gene parameter
+    (reference `DynamicsWorldModel.evolve_`, `dreamer4.py:5423-5466`).
+    Returns a new param tree."""
+    new_genes = evolve_latent_genes(key, params[gene_key], fitness, **kwargs)
+    out = dict(params)
+    out[gene_key] = new_genes
+    return out
