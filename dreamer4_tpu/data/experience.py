@@ -101,3 +101,128 @@ def combine_experiences(exps: list[Experience]) -> Experience:
         return first
 
     return jax.tree.map(cat_leaves, *exps)
+
+
+# ------------------------------------------------------- replay-buffer bridge
+
+BUFFER_META_FIELDS = ('step_size', 'lens', 'is_truncated', 'terminals',
+                      'agent_index', 'is_from_world_model', 'episode_return')
+
+
+def experience_buffer_fields(exp: Experience) -> tuple[dict, dict]:
+    """Infer (fields, meta_fields) specs for `ReplayBuffer` from a template
+    experience (reference `Experience.create_memmap_replay_buffer`,
+    `dreamer4.py:187-205`)."""
+    def dtype_str(x):
+        if x.dtype == np.bool_ or x.dtype == jnp.bool_:
+            return 'bool'
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return 'float'
+        return 'int'
+
+    fields, meta = {}, {}
+    data_dict, meta_dict = _experience_dicts(exp)
+    for k, v in data_dict.items():
+        fields[k] = (dtype_str(v), tuple(v.shape[2:]))
+    for k, v in meta_dict.items():
+        if hasattr(v, 'shape'):
+            meta[k] = (dtype_str(v), tuple(v.shape[1:]))
+        else:
+            meta[k] = ('int', ())
+    return fields, meta
+
+
+def _experience_dicts(exp: Experience) -> tuple[dict, dict]:
+    data, meta = {}, {}
+    for name in ('latents', 'video', 'proprio', 'critic_state', 'agent_embed',
+                 'rewards', 'values'):
+        v = getattr(exp, name)
+        if v is not None:
+            data[name] = v
+    for pair_name in ('actions', 'log_probs'):
+        pair = getattr(exp, pair_name)
+        if pair is not None:
+            if pair.discrete is not None:
+                data[f'{pair_name}_discrete'] = pair.discrete
+            if pair.continuous is not None:
+                data[f'{pair_name}_continuous'] = pair.continuous
+    for name in BUFFER_META_FIELDS:
+        v = getattr(exp, name)
+        if v is not None:
+            meta[name] = v
+    return data, meta
+
+
+def create_experience_replay_buffer(template: Experience, folder, max_episodes,
+                                    max_timesteps, **kwargs):
+    from .replay_buffer import ReplayBuffer
+
+    fields, meta = experience_buffer_fields(template)
+    return ReplayBuffer(folder, max_episodes, max_timesteps,
+                        fields=fields, meta_fields=meta, **kwargs)
+
+
+def add_experience_to_buffer(exp: Experience, buffer):
+    """Store each batch row as one episode (reference `add_to_memmap_buffer`,
+    `dreamer4.py:207-215`); video stored as (t, c, h, w)."""
+    data, meta = _experience_dicts(exp)
+    data = {k: np.asarray(v) for k, v in data.items()}
+    if 'video' in data:  # (b, c, t, h, w) -> (b, t, c, h, w)
+        data['video'] = np.moveaxis(data['video'], 1, 2)
+
+    b = exp.batch_size
+    lens = np.asarray(exp.lens) if exp.lens is not None else np.full((b,), exp.time_steps)
+
+    meta_np = {}
+    for k, v in meta.items():
+        meta_np[k] = np.asarray(v) if hasattr(v, 'shape') or isinstance(v, (list, tuple)) \
+            else np.full((b,), v)
+        if meta_np[k].ndim == 0:
+            meta_np[k] = np.full((b,), meta_np[k])
+
+    with buffer.batched_episode(batch_size=b, **meta_np) as slots:
+        for t in range(int(lens.max())):
+            buffer.store_batch(**{k: v[:, t] for k, v in data.items()})
+    # correct per-episode lengths (batched_episode records the common count)
+    buffer._lengths[slots] = lens
+    buffer._flush()
+
+
+def experience_from_batch(batch: dict, step_size: int | None = None) -> Experience:
+    """Rebuild an Experience from a `ReplayBuffer.sample_batch` dict
+    (reference `from_buffer_dict`, `dreamer4.py:217-236`)."""
+    def get(k):
+        v = batch.get(k)
+        return jnp.asarray(v) if v is not None else None
+
+    actions = None
+    if 'actions_discrete' in batch or 'actions_continuous' in batch:
+        actions = Actions(get('actions_discrete'), get('actions_continuous'))
+    log_probs = None
+    if 'log_probs_discrete' in batch or 'log_probs_continuous' in batch:
+        log_probs = Actions(get('log_probs_discrete'), get('log_probs_continuous'))
+
+    video = get('video')
+    if video is not None and video.ndim == 5:
+        video = jnp.moveaxis(video, 1, 2)  # (b, t, c, h, w) -> (b, c, t, h, w)
+
+    ss = batch.get('step_size', step_size)
+    if ss is not None and hasattr(ss, '__len__'):
+        ss = int(np.asarray(ss).reshape(-1)[0])
+
+    return Experience(
+        latents=get('latents'),
+        video=video,
+        proprio=get('proprio'),
+        critic_state=get('critic_state'),
+        agent_embed=get('agent_embed'),
+        rewards=get('rewards'),
+        terminals=get('terminals'),
+        actions=actions,
+        log_probs=log_probs,
+        values=get('values'),
+        step_size=int(ss) if ss is not None else None,
+        lens=get('lens'),
+        is_truncated=get('is_truncated'),
+        episode_return=get('episode_return'),
+    )

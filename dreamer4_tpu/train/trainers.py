@@ -257,7 +257,9 @@ class SimTrainer:
                  tokenizer=None, tokenizer_variables=None,
                  objective: str = 'ppo', policy_lr: float = 1e-4, value_lr: float = 1e-4,
                  num_steps: int = 4, max_timesteps: int = 16,
-                 num_rollouts_per_step: int = 1, update_epochs: int = 2):
+                 num_rollouts_per_step: int = 1, update_epochs: int = 2,
+                 train_dynamics: bool = True, dynamics_lr: float = 3e-4,
+                 dynamics_epochs: int = 1, seed: int = 0):
         from ..envs.interact import EnvInteractor
 
         self.model = model
@@ -277,6 +279,18 @@ class SimTrainer:
         self.interactor = EnvInteractor(model, tokenizer=tokenizer)
         self._update = make_rl_update_step(model, self.tx, objective)
 
+        # interleaved world-model learning on collected experience (the
+        # reference cartpole recipe trains the dynamics alongside RL so the
+        # frozen-trunk agent embeds become predictive)
+        self.train_dynamics = train_dynamics
+        self.dynamics_epochs = dynamics_epochs
+        self.rng = np.random.default_rng(seed)
+        if train_dynamics:
+            self.wm_tx = muon_adam_atan2(learning_rate=dynamics_lr, clip_grad_norm=1.0)
+            self.wm_opt_state = self.wm_tx.init(params)
+            self._wm_step = make_world_model_train_step(model, self.wm_tx)
+            self.wm_key = jax.random.PRNGKey(seed + 13)
+
     @property
     def variables(self):
         return {'params': self.rl_state.params, 'state': self.state_collection}
@@ -292,6 +306,31 @@ class SimTrainer:
                 num_steps=self.num_steps, max_timesteps=self.max_timesteps)
             exps.append(exp)
         experience = combine_experiences(exps) if len(exps) > 1 else exps[0]
+
+        # interleaved dynamics learning on the fresh experience
+        if self.train_dynamics and experience.time_steps > 1:
+            batch = dict(
+                latents=experience.latents,
+                rewards=experience.rewards,
+                terminals=experience.terminals,
+                lens=experience.lens,
+            )
+            if experience.actions is not None:
+                if experience.actions.discrete is not None:
+                    batch['discrete_actions'] = experience.actions.discrete
+                if experience.actions.continuous is not None:
+                    batch['continuous_actions'] = experience.actions.continuous
+
+            ts = TrainState(params=self.rl_state.params, state=self.state_collection,
+                            opt_state=self.wm_opt_state, ema_params=None,
+                            step=self.rl_state.step)
+            for _ in range(self.dynamics_epochs):
+                shortcut = bool(self.rng.random() < self.model.prob_shortcut_train)
+                self.wm_key, sub = jax.random.split(self.wm_key)
+                ts, wm_loss, _ = self._wm_step(ts, batch, sub, shortcut_train=shortcut)
+            self.wm_opt_state = ts.opt_state
+            self.state_collection = ts.state
+            self.rl_state = self.rl_state._replace(params=ts.params)
 
         outs = []
         for e in range(self.update_epochs):

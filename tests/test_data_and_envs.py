@@ -134,3 +134,37 @@ def test_interact_with_image_env():
     assert exp.video is not None
     assert exp.video.shape[0] == 2 and exp.video.shape[1] == 3
     assert exp.episode_return.shape == (2,)
+
+
+def test_experience_buffer_roundtrip(tmp_path):
+    from dreamer4_tpu.data.experience import (add_experience_to_buffer,
+                                              create_experience_replay_buffer,
+                                              experience_from_batch)
+    from dreamer4_tpu.nn.action_embedder import Actions as A
+
+    rng = np.random.default_rng(0)
+    exp = Experience(
+        latents=jnp.asarray(rng.random((3, 5, 2, 4)), jnp.float32),
+        rewards=jnp.asarray(rng.random((3, 5)), jnp.float32),
+        actions=A(jnp.asarray(rng.integers(0, 4, (3, 5, 1))), None),
+        log_probs=A(jnp.asarray(rng.random((3, 5, 1)), jnp.float32), None),
+        values=jnp.asarray(rng.random((3, 5)), jnp.float32),
+        step_size=4,
+        lens=jnp.array([5, 3, 4]),
+        is_truncated=jnp.array([True, False, True]),
+        terminals=jnp.array([False, True, False]),
+        episode_return=jnp.array([1.0, 2.0, 3.0]),
+    )
+
+    buf = create_experience_replay_buffer(exp, tmp_path / 'expbuf',
+                                          max_episodes=8, max_timesteps=10)
+    add_experience_to_buffer(exp, buf)
+    assert len(buf) == 3
+    assert buf.episode_length(1) == 3
+
+    batch = buf.sample_batch(np.random.default_rng(1), batch_size=2)
+    restored = experience_from_batch(batch, step_size=4)
+    assert restored.latents.shape[2:] == (2, 4)
+    assert restored.actions.discrete is not None
+    assert restored.step_size == 4
+    assert restored.lens is not None
