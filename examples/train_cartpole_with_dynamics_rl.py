@@ -21,37 +21,55 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-class GymnasiumAdapter:
-    """Batch-of-1 view over a gymnasium env with dict state obs."""
+class GymnasiumVectorAdapter:
+    """N parallel gymnasium envs as one batched env with dict state obs.
+    Finished envs latch (zero reward, terminated=True) until the batch
+    rollout ends — the interactor's `lens` bookkeeping masks them."""
 
-    def __init__(self, name: str = 'CartPole-v1', max_timesteps: int = 150, seed: int = 0):
+    def __init__(self, name: str = 'CartPole-v1', n_envs: int = 16,
+                 max_timesteps: int = 150, seed: int = 0):
         import gymnasium
 
-        self.env = gymnasium.make(name)
+        self.envs = [gymnasium.make(name) for _ in range(n_envs)]
+        self.n_envs = n_envs
         self.max_timesteps = max_timesteps
-        self._t = 0
         self._seed = seed
 
     @property
     def dim_state(self):
-        return int(np.prod(self.env.observation_space.shape))
+        return int(np.prod(self.envs[0].observation_space.shape))
 
     @property
     def num_actions(self):
-        return int(self.env.action_space.n)
+        return int(self.envs[0].action_space.n)
 
     def reset(self, seed=None):
-        obs, info = self.env.reset(seed=seed if seed is not None else None)
-        self._t = 0
-        return {'state': np.asarray(obs, np.float32)}, info
+        base = seed if seed is not None else self._seed
+        self._seed += self.n_envs
+        obs = []
+        for i, env in enumerate(self.envs):
+            o, _ = env.reset(seed=base + i)
+            obs.append(np.asarray(o, np.float32))
+        self._done = np.zeros((self.n_envs,), bool)
+        self._last_obs = np.stack(obs)
+        return {'state': self._last_obs.copy()}, {}
 
-    def step(self, action):
-        obs, reward, terminated, truncated, info = self.env.step(int(action))
-        self._t += 1
-        if self._t >= self.max_timesteps:
-            truncated = True
-        return ({'state': np.asarray(obs, np.float32)}, float(reward),
-                bool(terminated), bool(truncated), info)
+    def step(self, actions):
+        actions = np.asarray(actions).reshape(self.n_envs)
+        rewards = np.zeros((self.n_envs,), np.float32)
+        terminated = np.zeros((self.n_envs,), bool)
+        truncated = np.zeros((self.n_envs,), bool)
+        for i, env in enumerate(self.envs):
+            if self._done[i]:
+                terminated[i] = True
+                continue
+            o, r, term, trunc, _ = env.step(int(actions[i]))
+            self._last_obs[i] = np.asarray(o, np.float32)
+            rewards[i] = r
+            terminated[i] = term
+            truncated[i] = trunc
+            self._done[i] |= term or trunc
+        return ({'state': self._last_obs.copy()}, rewards, terminated, truncated, {})
 
 
 def main(argv=None):
@@ -65,7 +83,8 @@ def main(argv=None):
     p.add_argument('--policy-lr', type=float, default=3e-4)
     p.add_argument('--value-lr', type=float, default=3e-4)
     p.add_argument('--update-epochs', type=int, default=4)
-    p.add_argument('--rollouts-per-step', type=int, default=4)
+    p.add_argument('--rollouts-per-step', type=int, default=1)
+    p.add_argument('--n-envs', type=int, default=16)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--window', type=int, default=20)
     args = p.parse_args(argv)
@@ -76,7 +95,7 @@ def main(argv=None):
     from dreamer4_tpu.models.world_model import DynamicsWorldModel
     from dreamer4_tpu.train.trainers import SimTrainer
 
-    env = GymnasiumAdapter(max_timesteps=args.max_timesteps, seed=args.seed)
+    env = GymnasiumVectorAdapter(n_envs=args.n_envs, max_timesteps=args.max_timesteps, seed=args.seed)
 
     model = DynamicsWorldModel(
         dim=args.dim,
