@@ -280,7 +280,6 @@ class EnvInteractor:
                 is_truncated |= ~is_terminated
             done |= is_terminated | is_truncated
 
-            rewards_buf[:, step_idx] = np.where(done & ~(is_terminated | is_truncated), 0.0, reward)
             rewards_buf[:, step_idx] = reward
 
             prev_reward = jnp.asarray(rewards_buf[:, step_idx:step_idx + 1])
