@@ -108,6 +108,8 @@ class AxialSpaceTimeTransformer(nn.Module):
     space_width: int | None = None
     spatial_module_layers: tuple = ()       # layer indices with a MOSS spatial module
     spatial_module_kernel_size: int = 3
+    time_ring_axis: str | None = None       # sequence-parallel ring attention on time layers
+                                            # (training only; caller sets jax.set_mesh)
     h_net_layer: int | None = None          # splice the hierarchical temporal transformer here
     h_net_depth: int = 2
     h_net_heads: int = 4
@@ -345,14 +347,16 @@ class AxialSpaceTimeTransformer(nn.Module):
                 x_tm, bs_shape = _to_time_major(tokens)
                 rv_tm = _to_time_major(residual_values)[0] if residual_values is not None else None
                 layer_cache = cache.kv[time_layer_idx] if has_cache else None
+                ring_axis = self.time_ring_axis if not has_cache else None
                 attn_out = Attention(**attn_common, value_residual=self.value_residual, name=f'attn_{i}')(
                     x_tm,
                     kv_cache=layer_cache,
                     rotary=time_rotary,
-                    mask=time_mask,
+                    mask=None if ring_axis is not None else time_mask,
                     residual_values=rv_tm,
-                    flash_spec=time_flash,
+                    flash_spec=None if ring_axis is not None else time_flash,
                     flash_offset=token_count,
+                    ring_axis=ring_axis,
                 )
                 tokens = tokens + _from_time_major(attn_out.out, bs_shape)
                 if attn_out.cache is not None:

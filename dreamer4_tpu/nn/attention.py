@@ -91,6 +91,7 @@ class Attention(nn.Module):
         residual_values: jax.Array | None = None,  # (B, n, heads, dim_head)
         flash_spec: FlashSpec | None = None,  # use the fused Pallas kernel
         flash_offset: jax.Array | int = 0,    # causal offset (token count)
+        ring_axis: str | None = None,         # sequence-parallel ring attention
     ) -> AttentionOut:
         q_heads = self.query_heads if self.query_heads is not None else self.heads
         assert q_heads >= self.heads and q_heads % self.heads == 0
@@ -145,7 +146,23 @@ class Attention(nn.Module):
             k, v = new_cache.k, new_cache.v
             kv_len = new_cache.length
 
-        if flash_spec is not None:
+        if ring_axis is not None:
+            # sequence-parallel ring attention over the ambient mesh axis
+            # (training path; incompatible with KV caches)
+            assert kv_cache is None
+            from functools import partial as _partial
+
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.ring_attention import ring_attend
+
+            spec = P(None, None, ring_axis, None)
+            ring = _partial(jax.shard_map, in_specs=(spec, spec, spec), out_specs=spec)(
+                lambda q_, k_, v_: ring_attend(
+                    q_, k_, v_, axis_name=ring_axis, causal=True,
+                    softclamp_value=self.softclamp_value))
+            out = ring(q, k, v)
+        elif flash_spec is not None:
             from ..ops.flash_attention import flash_attend, make_config
 
             config = make_config(

@@ -51,3 +51,25 @@ def test_ring_gqa(mesh):
     out_full = naive_attend(q, k, v, mask=mask, softclamp_value=50.0)
     np.testing.assert_allclose(np.asarray(out_ring), np.asarray(out_full),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_trunk_time_ring_matches_dense(mesh):
+    """Transformer with time_ring_axis under the ambient mesh equals the
+    dense-mask forward — sequence-parallel training of the trunk."""
+    from dreamer4_tpu.models.transformer import AxialSpaceTimeTransformer
+
+    kwargs = dict(dim=16, depth=2, attn_heads=2, attn_dim_head=8,
+                  time_block_every=2, num_special_tokens=1)
+    model = AxialSpaceTimeTransformer(**kwargs)
+    model_ring = AxialSpaceTimeTransformer(**kwargs, time_ring_axis='sp')
+
+    tokens = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 4, 16))
+    params = model.init(jax.random.PRNGKey(1), tokens)
+
+    out_dense, _ = model.apply(params, tokens)
+
+    with jax.set_mesh(mesh):
+        out_ring, _ = jax.jit(lambda p, x: model_ring.apply(p, x))(params, tokens)
+
+    np.testing.assert_allclose(np.asarray(out_dense), np.asarray(out_ring),
+                               atol=2e-5, rtol=1e-4)
