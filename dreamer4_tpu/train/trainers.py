@@ -48,6 +48,41 @@ def create_train_state(variables, tx, with_ema: bool = False) -> TrainState:
     )
 
 
+def _applied_update(opt_state):
+    """Whether this tx.update actually changed params. Always true for plain
+    optimizers; under `optax.MultiSteps` (grad accumulation, reference
+    `trainers.py:648-682`) only the boundary micro-step applies, detected by
+    the accumulator wrapping back to mini_step == 0."""
+    mini_step = getattr(opt_state, 'mini_step', None)
+    return None if mini_step is None else (mini_step == 0)
+
+
+def _gated_ema(ema_params, new_params, decay, applied):
+    """EMA lerp, frozen on accumulation-only micro-steps (the reference
+    updates EMA once per optimizer step, `trainers.py:694`)."""
+    if ema_params is None:
+        return None
+    new = update_ema(ema_params, new_params, decay)
+    if applied is None:
+        return new
+    return jax.tree.map(lambda n, e: jnp.where(applied, n, e), new, ema_params)
+
+
+def _step_increment(step, applied):
+    if applied is None:
+        return step + 1
+    return step + applied.astype(jnp.int32)
+
+
+def with_grad_accum(tx, grad_accum: int):
+    """Wrap an optimizer to average gradients over `grad_accum` micro-batches
+    before applying (the reference's default tokenizer recipe is batch 8 x
+    grad-accum 8, `cli.py:41-43`)."""
+    if grad_accum <= 1:
+        return tx
+    return optax.MultiSteps(tx, every_k_schedule=grad_accum)
+
+
 # ---------------------------------------------------------------- tokenizer
 
 def make_tokenizer_train_step(model: VideoTokenizer, tx, ema_decay: float = 0.999,
@@ -81,9 +116,10 @@ def make_tokenizer_train_step(model: VideoTokenizer, tx, ema_decay: float = 0.99
         (loss, (new_state, losses)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
         updates, new_opt_state = tx.update(grads, ts.opt_state, ts.params)
         new_params = optax.apply_updates(ts.params, updates)
-        new_ema = (update_ema(ts.ema_params, new_params, ema_decay)
-                   if ts.ema_params is not None else None)
-        new_ts = TrainState(new_params, new_state, new_opt_state, new_ema, ts.step + 1)
+        applied = _applied_update(new_opt_state)
+        new_ema = _gated_ema(ts.ema_params, new_params, ema_decay, applied)
+        new_ts = TrainState(new_params, new_state, new_opt_state, new_ema,
+                            _step_increment(ts.step, applied))
         return new_ts, loss, losses
 
     return train_step
@@ -140,9 +176,10 @@ def make_world_model_train_step(model: DynamicsWorldModel, tx, ema_decay: float 
         (loss, (new_state, losses)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
         updates, new_opt_state = tx.update(grads, ts.opt_state, ts.params)
         new_params = optax.apply_updates(ts.params, updates)
-        new_ema = (update_ema(ts.ema_params, new_params, ema_decay)
-                   if ts.ema_params is not None else None)
-        new_ts = TrainState(new_params, new_state, new_opt_state, new_ema, ts.step + 1)
+        applied = _applied_update(new_opt_state)
+        new_ema = _gated_ema(ts.ema_params, new_params, ema_decay, applied)
+        new_ts = TrainState(new_params, new_state, new_opt_state, new_ema,
+                            _step_increment(ts.step, applied))
         return new_ts, loss, losses
 
     return train_step
@@ -211,12 +248,18 @@ class DreamTrainer:
 
     def __init__(self, model: DynamicsWorldModel, variables, *,
                  time_steps: int = 16, num_steps: int = 4, batch_size: int = 8,
-                 objective: str = 'ppo', policy_lr: float = 1e-4, value_lr: float = 1e-4):
+                 objective: str = 'ppo', policy_lr: float = 1e-4, value_lr: float = 1e-4,
+                 prompt_fn=None, generate_kwargs: dict | None = None):
+        """`prompt_fn(key) -> dict of prompt_* arrays` (fixed shapes) lets
+        dreams start from real experience latents instead of nothing;
+        `generate_kwargs` passes terminal calibration etc. through to
+        `generate` (e.g. terminal_logit_offset, min_dream_length)."""
         self.model = model
         self.time_steps = time_steps
         self.num_steps = num_steps
         self.batch_size = batch_size
         self.objective = objective
+        self.prompt_fn = prompt_fn
 
         params = variables['params']
         self.tx = make_rl_optimizer(model, policy_lr, value_lr)(params)
@@ -225,17 +268,30 @@ class DreamTrainer:
                                 step=jnp.zeros((), jnp.int32))
         self.state_collection = variables.get('state', {})
 
-        self._generate = jax.jit(lambda params, key: generate(
-            model, {'params': params, 'state': self.state_collection}, key,
-            time_steps=time_steps, num_steps=num_steps, batch_size=batch_size))
+        gen_kwargs = dict(generate_kwargs or {})
+
+        @partial(jax.jit, static_argnames=('prompt_keys',))
+        def _generate(params, key, prompt_keys=(), prompt_values=()):
+            return generate(
+                model, {'params': params, 'state': self.state_collection}, key,
+                time_steps=time_steps, num_steps=num_steps, batch_size=batch_size,
+                **dict(zip(prompt_keys, prompt_values)), **gen_kwargs)
+
+        self._generate = _generate
         self._update = make_rl_update_step(model, self.tx, objective)
 
     @property
     def variables(self):
         return {'params': self.rl_state.params, 'state': self.state_collection}
 
+    def dream(self, key) -> Experience:
+        prompt = self.prompt_fn(key) if self.prompt_fn is not None else {}
+        return self._generate(self.rl_state.params, key,
+                              prompt_keys=tuple(sorted(prompt)),
+                              prompt_values=tuple(v for _, v in sorted(prompt.items())))
+
     def step(self, key):
-        experience = self._generate(self.rl_state.params, key)
+        experience = self.dream(key)
         self.rl_state, out = self._update(self.rl_state, experience)
         return experience, out
 
@@ -349,7 +405,71 @@ class SimTrainer:
 
 # --------------------------------------------------------- behavior cloning
 
-class BehaviorCloneTrainer:
+class _CheckpointableTrainer:
+    """Save/resume for trainers: full TrainState (params, loss-normalizer
+    state, optimizer state, EMA params, step) plus the model config, written
+    as step-tagged directories with a floating `latest` copy — the reference's
+    `tokenizer-{step}.pt` + `-ema.pt` + `latest` policy
+    (`trainers.py:792-820`) and `load` resumption (`trainers.py:599-624`)."""
+
+    model = None  # type: ignore[assignment]
+    ts: TrainState
+
+    def save_checkpoint(self, path, extra: dict | None = None, tag_step: bool = True):
+        from pathlib import Path
+
+        from .checkpoint import save_model, save_train_state
+
+        path = Path(path)
+        step = int(self.ts.step)
+        target = path / f'ckpt-{step}' if tag_step else path
+        # capture the host-loop RNG so resumption is bit-exact (the branch
+        # draws and per-step keys continue where they left off)
+        extra = dict(extra or {})
+        if getattr(self, 'key', None) is not None:
+            key = self.key
+            if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+                key = jax.random.key_data(key)
+            extra['_jax_key'] = np.asarray(key).tolist()
+        if getattr(self, 'rng', None) is not None:
+            extra['_np_rng'] = self.rng.bit_generator.state
+        save_model(target, self.model,
+                   {'params': self.ts.params, 'state': self.ts.state},
+                   extra=dict(step=step, **(extra or {})))
+        if self.ts.ema_params is not None:
+            # EMA weights as a standalone loadable model checkpoint
+            save_model(target / 'ema', self.model,
+                       {'params': self.ts.ema_params, 'state': self.ts.state},
+                       extra=dict(step=step, ema=True))
+        save_train_state(target, self.ts, extra=extra)
+        if tag_step:
+            latest = path / 'latest'
+            latest_tmp = path / '.latest.tmp'
+            if latest_tmp.is_symlink() or latest_tmp.exists():
+                latest_tmp.unlink()
+            latest_tmp.symlink_to(target.name)
+            latest_tmp.replace(latest)
+        return target
+
+    def restore(self, path) -> dict:
+        """Restore TrainState in place from a checkpoint dir (or a dir
+        containing `latest`). Returns the checkpoint's extra metadata."""
+        from pathlib import Path
+
+        from .checkpoint import load_train_state
+
+        path = Path(path)
+        if (path / 'latest').exists():
+            path = (path / 'latest').resolve()
+        self.ts, extra = load_train_state(path, abstract_ts=self.ts)
+        if '_jax_key' in extra and getattr(self, 'key', None) is not None:
+            self.key = jnp.asarray(extra.pop('_jax_key'), jnp.uint32)
+        if '_np_rng' in extra and getattr(self, 'rng', None) is not None:
+            self.rng.bit_generator.state = extra.pop('_np_rng')
+        return extra
+
+
+class BehaviorCloneTrainer(_CheckpointableTrainer):
     """Dynamics-model training over offline batches (reference
     `BehaviorCloneTrainer`, `trainers.py:828-1326`). Host loop: sample batch
     from the replay buffer / dataset, tokenize video if needed, call the
@@ -359,13 +479,16 @@ class BehaviorCloneTrainer:
     def __init__(self, model: DynamicsWorldModel, variables, *,
                  tokenizer: VideoTokenizer | None = None, tokenizer_variables=None,
                  learning_rate: float = 3e-4, clip_grad_norm: float = 1.0,
+                 grad_accum: int = 1,
                  with_ema: bool = True, ema_decay: float = 0.999, seed: int = 0,
                  use_self_flow: bool = False, self_flow_weight: float = 1.0,
                  self_flow_student_layer: int = -3, self_flow_teacher_layer: int = -1):
         self.model = model
         self.tokenizer = tokenizer
         self.tokenizer_variables = tokenizer_variables
-        self.tx = muon_adam_atan2(learning_rate=learning_rate, clip_grad_norm=clip_grad_norm)
+        self.tx = with_grad_accum(
+            muon_adam_atan2(learning_rate=learning_rate, clip_grad_norm=clip_grad_norm),
+            grad_accum)
 
         self_flow_cfg = None
         if use_self_flow:
@@ -404,16 +527,19 @@ class BehaviorCloneTrainer:
         return loss, losses
 
 
-class TokenizerTrainer:
+class TokenizerTrainer(_CheckpointableTrainer):
     """Tokenizer training loop core (reference `VideoTokenizerTrainer`,
     `trainers.py:419-824`)."""
 
     def __init__(self, model: VideoTokenizer, variables, *,
                  learning_rate: float = 3e-4, clip_grad_norm: float = 1.0,
+                 grad_accum: int = 1,
                  with_ema: bool = True, ema_decay: float = 0.999, seed: int = 0,
                  use_lpips: bool = False, lpips_weights_path: str | None = None):
         self.model = model
-        self.tx = muon_adam_atan2(learning_rate=learning_rate, clip_grad_norm=clip_grad_norm)
+        self.tx = with_grad_accum(
+            muon_adam_atan2(learning_rate=learning_rate, clip_grad_norm=clip_grad_norm),
+            grad_accum)
         self.ts = create_train_state(variables, self.tx, with_ema=with_ema)
 
         lpips_fn = None
