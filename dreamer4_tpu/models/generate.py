@@ -50,6 +50,8 @@ def generate(
     continuous_temperature: float = 1.0,
     return_agent_actions: bool | None = None,
     predict_terminals: bool | None = None,
+    terminal_logit_offset: float = 0.0,
+    min_dream_length: int = 0,
 ) -> Experience:
     """Fully traceable; wrap in jax.jit with static `model`/`time_steps`/
     `num_steps` (trainers do). Returns an `Experience` with padded buffers
@@ -61,6 +63,7 @@ def generate(
     T = time_steps
     b = batch_size
     n, d_lat = model.latent_shape
+    V = model.num_video_views
     dim = model.dim
 
     if return_agent_actions is None:
@@ -75,10 +78,17 @@ def generate(
     P = prompt_latents.shape[1] if prompt_latents is not None else 0
     assert P < T, 'prompt must be shorter than requested time_steps'
 
+    # standardize prompt latents to carry the view axis (b, p, v, n, d) — the
+    # reference rolls out with the view dimension throughout
+    # (`dreamer4.py:6475, 6846-6885`)
+    if prompt_latents is not None and prompt_latents.ndim == 4:
+        assert V == 1, 'multi-view models need (b, p, v, n, d) prompt latents'
+        prompt_latents = prompt_latents[:, :, None]
+
     key, k_init = jax.random.split(key)
 
     # ------------------------------------------------------------- buffers
-    latents_buf = jnp.zeros((b, T, n, d_lat))
+    latents_buf = jnp.zeros((b, T, V, n, d_lat))
     if P > 0:
         latents_buf = latents_buf.at[:, :P].set(prompt_latents)
 
@@ -110,13 +120,14 @@ def generate(
     def apply_forward(frame_key, **kwargs):
         return model.apply(variables, rngs={'sample': frame_key},
                            latent_is_noised=True, is_training=False,
-                           return_pred_only=True, **kwargs)
+                           return_pred_only=True, latent_has_view_dim=True,
+                           **kwargs)
 
     cache = model.apply(variables, b, T, method=model.init_cache)
 
     if P > 0:
         k_ctx, k_prompt = jax.random.split(k_init)
-        ctx_noise = jax.random.normal(k_ctx, (b, P, n, d_lat))
+        ctx_noise = jax.random.normal(k_ctx, (b, P, V, n, d_lat))
         noised_prompt = prompt_latents + (ctx_noise - prompt_latents) * context_signal_noise
 
         prompt_kwargs: dict[str, Any] = dict(
@@ -138,6 +149,7 @@ def generate(
         _, (_, cache) = model.apply(
             variables, rngs={'sample': k_prompt}, latent_is_noised=True, is_training=False,
             return_pred_only=True, return_intermediates=True, max_time=T,
+            latent_has_view_dim=True,
             tasks=tasks, latent_gene_ids=latent_gene_ids, **prompt_kwargs)
 
     # ------------------------------------------------------ frame loop body
@@ -149,7 +161,7 @@ def generate(
         fkey = jax.random.fold_in(key, i)
         k_noise, k_pnoise, k_term, k_act, k_fwd = jax.random.split(fkey, 5)
 
-        noised = jax.random.normal(k_noise, (b, 1, n, d_lat))
+        noised = jax.random.normal(k_noise, (b, 1, V, n, d_lat))
         noised_proprio = (jax.random.normal(k_pnoise, (b, 1, model.dim_proprio))
                           if has_proprio else None)
 
@@ -182,7 +194,7 @@ def generate(
                 cache=cache,
                 **cond_kwargs,
             )
-            flow_pred = pred.flow[:, :, 0]  # single view
+            flow_pred = pred.flow  # (b, 1, v, n, d) — all views roll forward
             t_frac = signal_val / K
             if model.pred_orig_latent:
                 flow = (flow_pred - noised) / (1.0 - t_frac)
@@ -202,7 +214,7 @@ def generate(
         # extra clean step: refresh cache + agent embedding
         _, (embeds, new_cache) = model.apply(
             variables, rngs={'sample': jax.random.fold_in(k_fwd, num_steps)},
-            latent_is_noised=True, is_training=False,
+            latent_is_noised=True, is_training=False, latent_has_view_dim=True,
             return_pred_only=True, return_intermediates=True,
             latents=denoised,
             proprio=denoised_proprio,
@@ -223,10 +235,18 @@ def generate(
 
         # terminal Bernoulli off pooled denoised latents
         if predict_terminals:
-            pooled = jnp.mean(denoised[:, 0], axis=-2)  # (b, d_latent)
+            # pool over views and latent tokens -> (b, d_latent)
+            pooled = jnp.mean(denoised[:, 0].reshape(b, V * n, d_lat), axis=-2)
             term_logits = model.apply(variables, pooled,
                                       method=lambda m, e: m.to_state_terminal_pred(e))[..., 0]
+            # calibration for slightly-OOD dreamed latents: a logit margin
+            # (raises the bar for terminating) and a minimum dream length
+            # (the terminal head over-fires early in WM training; see
+            # STATUS round-1 findings / reference Bernoulli sampling at
+            # `dreamer4.py:6597-6616`)
+            term_logits = term_logits - terminal_logit_offset
             is_terminal = jax.random.bernoulli(k_term, jax.nn.sigmoid(term_logits))
+            is_terminal &= (i - P) >= (min_dream_length - 1)
             just_terminated = is_terminal & ~terminals
             lens = jnp.where(just_terminated, i + 1, lens)
             terminals = terminals | is_terminal
@@ -287,6 +307,8 @@ def generate(
      policy_embed_buf, terminals, lens, cache) = state
 
     latents_buf = jnp.clip(latents_buf, -1.0, 1.0)
+    if V == 1:
+        latents_buf = latents_buf[:, :, 0]  # single-view consumers take (b,t,n,d)
     lens = jnp.minimum(lens, i_final)
 
     step_mask = (jnp.arange(T)[None] < lens[:, None]).astype(jnp.float32)

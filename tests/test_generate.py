@@ -89,6 +89,203 @@ def test_generate_jits_once():
     assert not np.allclose(np.asarray(e1.latents[:, -1]), np.asarray(e2.latents[:, -1]))
 
 
+def eager_generate(model, variables, key, *, time_steps, num_steps, batch_size,
+                   prompt_latents=None, prompt_discrete_actions=None,
+                   context_signal_noise=0.1, predict_terminals=True):
+    """Straight-line python re-implementation of `generate` with a FRESH
+    parallel forward per step (no while_loop, no KV cache): at frame i every
+    denoise step runs the full prefix 0..i in parallel and takes the last
+    frame's prediction. Mirrors `generate`'s key discipline exactly, so any
+    index/bookkeeping bug in the compiled program shows up as divergence
+    (the reference tests repeated cached generate the same way,
+    `test_dreamer.py:763-783`)."""
+    K = model.max_steps
+    step_size = K // num_steps
+    b, T = batch_size, time_steps
+    n, d = model.latent_shape
+    V = model.num_video_views
+    na_d = len([x for x in model.num_discrete_actions if x > 0])
+
+    key, k_init = jax.random.split(key)
+
+    P = 0
+    if prompt_latents is not None:
+        P = prompt_latents.shape[1]
+        if prompt_latents.ndim == 4:
+            prompt_latents = prompt_latents[:, :, None]
+        k_ctx, _ = jax.random.split(k_init)
+        ctx_noise = jax.random.normal(k_ctx, (b, P, V, n, d))
+        noised_prompt = prompt_latents + (ctx_noise - prompt_latents) * context_signal_noise
+
+    # histories (python lists of per-frame arrays)
+    lat_hist = [noised_prompt[:, j] for j in range(P)] if P else []   # context latents as cached
+    clean_hist = [prompt_latents[:, j] for j in range(P)] if P else []  # what generate stores
+    act_hist = ([prompt_discrete_actions[:, j] for j in range(P)]
+                if prompt_discrete_actions is not None else
+                [jnp.zeros((b, max(na_d, 1)), jnp.int32)] * P)
+    rewards, values, lps, terminals = [], [], [], jnp.zeros((b,), bool)
+    lens = jnp.full((b,), T)
+
+    def fwd(latents_seq, signal_levels, k, actions_seq):
+        kwargs = {}
+        if model.has_actions and na_d > 0:
+            kwargs['discrete_actions'] = jnp.stack(actions_seq, axis=1)
+        pred, (embeds, _) = model.apply(
+            variables, rngs={'sample': k}, latent_is_noised=True,
+            is_training=False, return_pred_only=True, return_intermediates=True,
+            latent_has_view_dim=True,
+            latents=jnp.stack(latents_seq, axis=1),
+            signal_levels=signal_levels,
+            step_sizes=jnp.full((b,), step_size, jnp.int32), **kwargs)
+        return pred, embeds
+
+    for i in range(P, T):
+        fkey = jax.random.fold_in(key, i)
+        k_noise, k_pnoise, k_term, k_act, k_fwd = jax.random.split(fkey, 5)
+        noised = jax.random.normal(k_noise, (b, V, n, d))
+
+        dummy_act = jnp.zeros((b, max(na_d, 1)), jnp.int32)
+        for s in range(num_steps):
+            signal_val = s * step_size
+            sig = jnp.concatenate([
+                jnp.full((b, i), K - 1, jnp.int32),
+                jnp.full((b, 1), signal_val, jnp.int32)], axis=1)
+            pred, _ = fwd(lat_hist + [noised], sig, jax.random.fold_in(k_fwd, s),
+                          act_hist + [dummy_act])
+            flow_pred = pred.flow[:, -1]
+            t_frac = signal_val / K
+            if model.pred_orig_latent:
+                flow = (flow_pred - noised) / (1.0 - t_frac)
+            else:
+                flow = flow_pred
+            noised = noised + flow * (step_size / K)
+        denoised = noised
+
+        sig = jnp.full((b, i + 1), K - 1, jnp.int32)
+        _, embeds = fwd(lat_hist + [denoised], sig,
+                        jax.random.fold_in(k_fwd, num_steps), act_hist + [dummy_act])
+        one_agent_embed = embeds.agent[:, -1, 0]
+
+        reward_logits = model.apply(variables, one_agent_embed,
+                                    method=lambda m, e: m.to_reward_pred(e))[0]
+        rewards.append(model.reward_encoder.decode(reward_logits))
+
+        if predict_terminals:
+            pooled = jnp.mean(denoised.reshape(b, V * n, d), axis=-2)
+            term_logits = model.apply(variables, pooled,
+                                      method=lambda m, e: m.to_state_terminal_pred(e))[..., 0]
+            is_terminal = jax.random.bernoulli(k_term, jax.nn.sigmoid(term_logits))
+            just = is_terminal & ~terminals
+            lens = jnp.where(just, i + 1, lens)
+            terminals = terminals | is_terminal
+
+        policy_embed = model.apply(variables, one_agent_embed,
+                                   method=lambda m, e: m.policy_head(e))
+        sampled_d, _ = model.apply(
+            variables, k_act, policy_embed,
+            method=lambda m, k, e, **kw: m.action_embedder.sample(k, e, **kw))
+        lp = model.apply(
+            variables, policy_embed,
+            method=lambda m, e: m.action_embedder.log_probs(
+                e, discrete_targets=sampled_d, pred_head_index=0))
+        value_bins = model.apply(variables, one_agent_embed,
+                                 method=lambda m, e: m.value_head(e))
+
+        act_hist.append(sampled_d)
+        lps.append(lp.discrete)
+        values.append(model.value_encoder.decode(value_bins))
+        lat_hist.append(denoised)
+        clean_hist.append(denoised)
+
+        if predict_terminals and bool(jnp.all(terminals)):
+            break
+
+    out = dict(
+        latents=jnp.clip(jnp.stack(clean_hist, axis=1), -1, 1),
+        rewards=jnp.stack(rewards, axis=1),
+        actions=jnp.stack(act_hist[P:], axis=1),
+        log_probs=jnp.stack(lps, axis=1),
+        values=jnp.stack(values, axis=1),
+        terminals=terminals,
+        lens=jnp.minimum(lens, len(clean_hist)),
+    )
+    if V == 1:
+        out['latents'] = out['latents'][:, :, 0]
+    return out
+
+
+def test_generate_matches_eager_reference():
+    """Numerical cross-check of the compiled while_loop+cache rollout against
+    the eager fresh-cache python rollout — same keys, same math."""
+    model = make_model(predict_terminals=True)
+    variables = init_model(model)
+    key = jax.random.PRNGKey(3)
+
+    exp = generate(model, variables, key, time_steps=4, num_steps=2, batch_size=2)
+    ref = eager_generate(model, variables, key, time_steps=4, num_steps=2,
+                         batch_size=2, predict_terminals=True)
+
+    m = int(min(exp.lens.max(), 4))  # frames actually generated by both
+    np.testing.assert_allclose(np.asarray(exp.latents[:, :m]),
+                               np.asarray(ref['latents'][:, :m]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(exp.rewards[:, :m]),
+                               np.asarray(ref['rewards'][:, :m]), atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(exp.actions.discrete[:, :m]),
+                                  np.asarray(ref['actions'][:, :m]))
+    np.testing.assert_allclose(np.asarray(exp.values[:, :m]),
+                               np.asarray(ref['values'][:, :m]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(exp.log_probs.discrete[:, :m]),
+                               np.asarray(ref['log_probs'][:, :m]), atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(exp.terminals), np.asarray(ref['terminals']))
+    np.testing.assert_array_equal(np.asarray(exp.lens), np.asarray(ref['lens']))
+
+
+def test_generate_matches_eager_with_prompt():
+    model = make_model(predict_terminals=False)
+    variables = init_model(model)
+    key = jax.random.PRNGKey(5)
+    prompt = jnp.clip(jax.random.normal(jax.random.PRNGKey(1), (2, 2, 4, 8)), -1, 1)
+    prompt_actions = jax.random.randint(jax.random.PRNGKey(2), (2, 2, 1), 0, 4)
+
+    exp = generate(model, variables, key, time_steps=4, num_steps=2, batch_size=2,
+                   prompt_latents=prompt, prompt_discrete_actions=prompt_actions)
+    ref = eager_generate(model, variables, key, time_steps=4, num_steps=2,
+                         batch_size=2, prompt_latents=prompt,
+                         prompt_discrete_actions=prompt_actions,
+                         predict_terminals=False)
+
+    np.testing.assert_allclose(np.asarray(exp.latents), np.asarray(ref['latents']),
+                               atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(exp.actions.discrete[:, 2:]),
+                                  np.asarray(ref['actions']))
+
+
+def test_generate_multiview():
+    """A num_video_views=2 model dreams with the view dimension; per-view
+    latents differ (reference `dreamer4.py:6475, 6846-6885`)."""
+    model = make_model(num_video_views=2, predict_terminals=False)
+    latents = jnp.zeros((2, 3, 2, model.num_latent_tokens, model.dim_latent))
+    rngs = {'params': jax.random.PRNGKey(0), 'sample': jax.random.PRNGKey(1)}
+    variables = model.init(rngs, latents=latents, latent_has_view_dim=True,
+                           shortcut_train=False,
+                           rewards=jnp.zeros((2, 3)),
+                           discrete_actions=jnp.zeros((2, 2, 1), jnp.int32))
+
+    exp = generate(model, variables, jax.random.PRNGKey(0),
+                   time_steps=4, num_steps=2, batch_size=2)
+    assert exp.latents.shape == (2, 4, 2, 4, 8)
+    # the two views evolve differently
+    assert float(jnp.abs(exp.latents[:, :, 0] - exp.latents[:, :, 1]).max()) > 1e-4
+    assert jnp.isfinite(exp.latents).all()
+
+    # multi-view prompt path
+    prompt = jnp.clip(jax.random.normal(jax.random.PRNGKey(1), (2, 2, 2, 4, 8)), -1, 1)
+    exp2 = generate(model, variables, jax.random.PRNGKey(0),
+                    time_steps=4, num_steps=2, batch_size=2, prompt_latents=prompt)
+    np.testing.assert_allclose(np.asarray(exp2.latents[:, :2]), np.asarray(prompt),
+                               atol=1e-6)
+
+
 def test_generate_continuous_actions():
     model = make_model(num_discrete_actions=(), num_continuous_actions=2,
                        predict_terminals=False)
