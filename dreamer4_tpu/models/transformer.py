@@ -357,6 +357,7 @@ class AxialSpaceTimeTransformer(nn.Module):
                     flash_spec=None if ring_axis is not None else time_flash,
                     flash_offset=token_count,
                     ring_axis=ring_axis,
+                    ring_use_flash=self.use_flash_attention,
                 )
                 tokens = tokens + _from_time_major(attn_out.out, bs_shape)
                 if attn_out.cache is not None:

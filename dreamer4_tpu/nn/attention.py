@@ -92,6 +92,7 @@ class Attention(nn.Module):
         flash_spec: FlashSpec | None = None,  # use the fused Pallas kernel
         flash_offset: jax.Array | int = 0,    # causal offset (token count)
         ring_axis: str | None = None,         # sequence-parallel ring attention
+        ring_use_flash: bool = False,         # Pallas kernels inside the ring
     ) -> AttentionOut:
         q_heads = self.query_heads if self.query_heads is not None else self.heads
         assert q_heads >= self.heads and q_heads % self.heads == 0
@@ -157,10 +158,17 @@ class Attention(nn.Module):
             from ..parallel.ring_attention import ring_attend
 
             spec = P(None, None, ring_axis, None)
-            ring = _partial(jax.shard_map, in_specs=(spec, spec, spec), out_specs=spec)(
+            interpret = jax.default_backend() != 'tpu'
+            ring = _partial(jax.shard_map, in_specs=(spec, spec, spec), out_specs=spec,
+                            check_vma=False)(  # pallas outputs carry no vma
+
                 lambda q_, k_, v_: ring_attend(
                     q_, k_, v_, axis_name=ring_axis, causal=True,
-                    softclamp_value=self.softclamp_value))
+                    softclamp_value=self.softclamp_value,
+                    # fused Pallas kernels per ring block once the local
+                    # shard is at least one 128-row tile
+                    use_flash=ring_use_flash and q_.shape[-2] >= 128,
+                    interpret=interpret))
             out = ring(q, k, v)
         elif flash_spec is not None:
             from ..ops.flash_attention import flash_attend, make_config

@@ -46,9 +46,21 @@ def ring_attend(
     causal: bool = True,
     softclamp_value: float | None = 50.0,
     scale: float | None = None,
+    use_flash: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
     """Must be called inside shard_map with q/k/v time-sharded over
-    `axis_name`. GQA is supported (q heads a multiple of kv heads)."""
+    `axis_name`. GQA is supported (q heads a multiple of kv heads).
+
+    With `use_flash=True` each ring block runs the fused Pallas kernels for
+    both forward and backward (`flash_ring_attend`) — the round-1 gap where
+    the sequence-parallel path fell back to dense jnp block math."""
+    if use_flash:
+        return flash_ring_attend(
+            q, k, v,
+            _make_ring_config(axis_name=axis_name, causal=causal,
+                              softclamp_value=softclamp_value, scale=scale,
+                              interpret=interpret))
     axis_size = jax.lax.axis_size(axis_name)
     my_idx = jax.lax.axis_index(axis_name)
 
@@ -105,6 +117,129 @@ def ring_attend(
 
     out = acc / jnp.maximum(l_i, 1e-30)
     return out.astype(q.dtype)
+
+
+# ----------------------------------------------------- flash-kernel ring path
+
+def _make_ring_config(*, axis_name, causal, softclamp_value, scale, interpret):
+    return tuple(sorted(dict(axis_name=axis_name, causal=causal,
+                             softclamp_value=softclamp_value, scale=scale,
+                             interpret=interpret).items()))
+
+
+def _ring_offsets(axis_name, step):
+    """(my_idx, src, causal offset of local queries vs the held kv block)."""
+    axis_size = jax.lax.axis_size(axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+    src = (my_idx - step) % axis_size
+    return my_idx, src
+
+
+def _rotate(x, axis_name):
+    axis_size = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_ring_attend(q, k, v, config):
+    """Ring attention where every (local-q, rotating-kv) block runs the
+    fused Pallas attention kernel, forward AND backward. The cross-block
+    merge uses the kernels' log-sum-exp outputs; the backward rotates kv
+    blocks around the ring again with traveling dk/dv accumulators, calling
+    the fused backward kernels with the *global* LSE per block (ring
+    attention a la Liu et al., built from the flash-attention-2 kernel
+    pieces in ops/flash_attention.py)."""
+    out, _ = _flash_ring_fwd_impl(q, k, v, dict(config))
+    return out
+
+
+def _flash_ring_fwd_impl(q, k, v, cfg):
+    from ..ops.flash_attention import flash_attend_fwd
+
+    axis_name = cfg['axis_name']
+    axis_size = jax.lax.axis_size(axis_name)
+    n_local = q.shape[-2]
+    B, Hq = q.shape[0], q.shape[1]
+
+    o = jnp.zeros(q.shape, jnp.float32)
+    lse = jnp.full((B, Hq, n_local), NEG_INF, jnp.float32)
+
+    k_blk, v_blk = k, v
+    for step in range(axis_size):
+        my_idx, src = _ring_offsets(axis_name, step)
+        offset = (my_idx - src) * n_local
+
+        o_b, lse_b = flash_attend_fwd(
+            q, k_blk, v_blk, offset.astype(jnp.int32), jnp.int32(n_local),
+            scale=cfg['scale'], softclamp_value=cfg['softclamp_value'],
+            causal=cfg['causal'], interpret=cfg['interpret'], return_lse=True)
+        lse_b = lse_b[:, :, :n_local]
+
+        lse_new = jnp.logaddexp(lse, lse_b)
+        w_old = jnp.exp(lse - lse_new)[..., None]
+        w_new = jnp.exp(lse_b - lse_new)[..., None]
+        o = o * w_old + o_b.astype(jnp.float32) * w_new
+        lse = lse_new
+
+        k_blk = _rotate(k_blk, axis_name)
+        v_blk = _rotate(v_blk, axis_name)
+
+    return o.astype(q.dtype), lse
+
+
+def _flash_ring_fwd(q, k, v, config):
+    out, lse = _flash_ring_fwd_impl(q, k, v, dict(config))
+    return out, (q, k, v, out, lse)
+
+
+def _flash_ring_bwd(config, residuals, g):
+    from ..ops.flash_attention import _round_up, flash_attend_bwd
+
+    cfg = dict(config)
+    q, k, v, out, lse = residuals
+    axis_name = cfg['axis_name']
+    axis_size = jax.lax.axis_size(axis_name)
+    n_local = q.shape[-2]
+
+    # pad the global LSE to the kernel's padded row count with +inf-like
+    # values so padded-row probabilities recompute to exactly zero
+    n_pad = _round_up(n_local, 128)
+    lse_pad = jnp.pad(lse, ((0, 0), (0, 0), (0, n_pad - n_local)),
+                      constant_values=-NEG_INF)
+
+    dq = jnp.zeros(q.shape, jnp.float32)
+    dk_acc = jnp.zeros(k.shape, jnp.float32)
+    dv_acc = jnp.zeros(v.shape, jnp.float32)
+
+    k_blk, v_blk = k, v
+    for step in range(axis_size):
+        my_idx, src = _ring_offsets(axis_name, step)
+        offset = (my_idx - src) * n_local
+
+        dq_b, dk_b, dv_b = flash_attend_bwd(
+            q, k_blk, v_blk, out, lse_pad, g,
+            offset.astype(jnp.int32), jnp.int32(n_local),
+            scale=cfg['scale'], softclamp_value=cfg['softclamp_value'],
+            causal=cfg['causal'], interpret=cfg['interpret'])
+        dq = dq + dq_b.astype(jnp.float32)
+        dk_acc = dk_acc + dk_b.astype(jnp.float32)
+        dv_acc = dv_acc + dv_b.astype(jnp.float32)
+
+        # rotate the kv blocks AND their gradient accumulators together;
+        # after axis_size rotations each accumulator is home again
+        k_blk = _rotate(k_blk, axis_name)
+        v_blk = _rotate(v_blk, axis_name)
+        dk_acc = _rotate(dk_acc, axis_name)
+        dv_acc = _rotate(dv_acc, axis_name)
+
+    return dq.astype(q.dtype), dk_acc.astype(k.dtype), dv_acc.astype(v.dtype)
+
+
+flash_ring_attend.defvjp(_flash_ring_fwd, _flash_ring_bwd)
 
 
 def make_ring_attention(mesh, axis_name: str, causal: bool = True,

@@ -97,6 +97,71 @@ def test_kernel_backward_matches_naive():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize('causal,softclamp,gqa,num_special', [
+    (True, 50.0, False, 0),
+    (True, None, True, 0),
+    (False, 50.0, False, 4),
+    (True, 50.0, True, 4),
+])
+def test_fused_backward_matches_naive(causal, softclamp, gqa, num_special):
+    """At training shapes (N >= 128) the backward runs the fused Pallas
+    kernels (dq + dk/dv from saved LSE); gradients must match the dense
+    reference across the whole mask family."""
+    key = jax.random.PRNGKey(4)
+    kq, kk, kv_, kg = jax.random.split(key, 4)
+    hq, h = (4, 2) if gqa else (2, 2)
+    N = 128
+    q = jax.random.normal(kq, (1, hq, N, 32))
+    k = jax.random.normal(kk, (1, h, N, 32))
+    v = jax.random.normal(kv_, (1, h, N, 32))
+    g = jax.random.normal(kg, (1, hq, N, 32))
+    special_seq_len = 32 if num_special else 0
+
+    cfg = make_config(causal=causal, softclamp_value=softclamp,
+                      num_special=num_special, special_seq_len=special_seq_len,
+                      interpret=True)
+
+    def f_kernel(q, k, v):
+        return (flash_attend(q, k, v, jnp.int32(0), jnp.int32(N), cfg) * g).sum()
+
+    def f_ref(q, k, v):
+        mask = build_attend_mask(N, N, causal=causal, num_special=num_special,
+                                 block_size_per_special=special_seq_len or N)
+        return (naive_attend(q, k, v, mask=mask, softclamp_value=softclamp) * g).sum()
+
+    g_kernel = jax.grad(f_kernel, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_kernel, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3)
+
+
+def test_fused_backward_unaligned_and_kv_len():
+    """N not a multiple of 128 (padded rows) + a kv validity length shorter
+    than the buffer + a causal offset — the cached-training corner cases."""
+    key = jax.random.PRNGKey(5)
+    kq, kk, kv_, kg = jax.random.split(key, 4)
+    N, M, kv_len, offset = 130, 192, 150, 20
+    q = jax.random.normal(kq, (1, 2, N, 16))
+    k = jax.random.normal(kk, (1, 2, M, 16))
+    v = jax.random.normal(kv_, (1, 2, M, 16))
+    g = jax.random.normal(kg, (1, 2, N, 16))
+
+    cfg = make_config(causal=True, interpret=True)
+
+    def f_kernel(q, k, v):
+        return (flash_attend(q, k, v, jnp.int32(offset), jnp.int32(kv_len), cfg) * g).sum()
+
+    def f_ref(q, k, v):
+        mask = build_attend_mask(N, M, causal=True, causal_offset=offset)
+        valid = jnp.arange(M)[None, :] < kv_len
+        return (naive_attend(q, k, v, mask=mask & valid, softclamp_value=50.0) * g).sum()
+
+    g_kernel = jax.grad(f_kernel, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_kernel, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3)
+
+
 def test_transformer_flash_matches_naive():
     """Full transformer forward with the fused kernel (interpret mode on CPU)
     equals the dense-mask jnp path."""
