@@ -42,9 +42,20 @@ class VideoDataset:
 
     def __init__(self, folder: str | Path, image_size: tuple[int, int] | None = None,
                  num_frames: int | None = None, seed: int = 0):
+        """`folder` is a directory of videos OR a glob pattern like
+        `data/*.gif` (reference dataset resolution, `cli.py:65-96`)."""
         self.folder = Path(folder)
+        if self.folder.is_dir():
+            candidates = (p for ext in self.EXTENSIONS for p in self.folder.glob(ext))
+        else:  # glob pattern, anchored at the first wildcard-free parent
+            anchor = self.folder
+            while any(ch in anchor.name for ch in '*?['):
+                anchor = anchor.parent
+            pattern = str(self.folder.relative_to(anchor))
+            candidates = (p for p in anchor.glob(pattern)
+                          if p.suffix in ('.gif', '.npy'))
         self.paths = sorted(
-            p for ext in self.EXTENSIONS for p in self.folder.glob(ext)
+            p for p in candidates
             if not any(str(p).endswith(s) for s in self.SIDECAR_SUFFIXES))
         assert len(self.paths) > 0, f'no videos found in {folder}'
         self.image_size = image_size

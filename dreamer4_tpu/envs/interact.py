@@ -91,7 +91,7 @@ class EnvInteractor:
                 kwargs['rewards'] = prev_reward
                 kwargs['reward_token_mask'] = valid
 
-            _, (embeds, new_cache) = model.apply(
+            pred, (embeds, new_cache) = model.apply(
                 variables, rngs={'sample': key},
                 latents=latents,
                 signal_levels=model.max_steps - 1,
@@ -102,6 +102,13 @@ class EnvInteractor:
                 **kwargs)
 
             agent_embed = embeds.agent[:, -1, 0]       # (b, d)
+
+            # state-entropy exploration bonus (reference `dreamer4.py:5735-5740`)
+            state_entropy = None
+            if model.add_state_entropy_bonus and pred.state is not None:
+                from ..ops import dists as _dists
+                ent = _dists.continuous_entropy(pred.state[:, -1], 'beta')
+                state_entropy = jnp.mean(ent.reshape(b, -1), axis=-1)  # (b,)
 
             value_embed = agent_embed
             if model.dim_critic_state is not None and critic_state is not None:
@@ -132,7 +139,7 @@ class EnvInteractor:
 
             return dict(value=value, agent_embed=agent_embed, policy_embed=policy_embed,
                         sampled_d=sampled_d, sampled_c=sampled_c, env_cont=env_cont,
-                        log_probs=lp, cache=new_cache)
+                        log_probs=lp, cache=new_cache, state_entropy=state_entropy)
 
         self._policy_step = policy_step
 
@@ -270,6 +277,9 @@ class EnvInteractor:
             next_obs = batchify(_normalize_obs(next_obs))
 
             reward = np.asarray(reward, np.float32).reshape(b)
+            if out['state_entropy'] is not None:
+                reward = reward + (np.asarray(out['state_entropy']).reshape(b)
+                                   * model.state_entropy_bonus_weight)
             terminated = np.asarray(terminated).reshape(b).astype(bool)
             truncated = np.asarray(truncated).reshape(b).astype(bool)
 

@@ -164,6 +164,10 @@ class DynamicsWorldModel(nn.Module):
     continuous_action_loss_weight: float = 1.0
     state_pred_loss_weight: float = 0.1
     agent_state_pred_loss_weight: float = 0.1
+    # exploration bonus: mean Beta entropy of the state prediction added to
+    # real-env rewards during interaction (reference `dreamer4.py:4705,
+    # 5735-5740`)
+    state_entropy_bonus_weight: float = 0.0
     latent_ar_loss_weight: float = 0.0
     latent_ar_sigreg_loss_weight: float = 0.05
     use_loss_normalization: bool = False
@@ -213,6 +217,10 @@ class DynamicsWorldModel(nn.Module):
     @property
     def should_pred_state(self) -> bool:
         return self.add_state_pred_head and self.state_pred_loss_weight > 0.0
+
+    @property
+    def add_state_entropy_bonus(self) -> bool:
+        return self.should_pred_state and self.state_entropy_bonus_weight > 0.0
 
     @property
     def has_actions(self) -> bool:

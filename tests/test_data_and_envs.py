@@ -109,6 +109,35 @@ def test_interact_with_state_env():
     assert exp.critic_state is not None
 
 
+def test_interact_state_entropy_bonus():
+    """With `state_entropy_bonus_weight` > 0 the recorded rewards include the
+    mean Beta entropy of the state-prediction head (reference
+    `dreamer4.py:4705, 5735-5740`); the raw env rewards stay recoverable by
+    running the same rollout without the bonus."""
+    base = dict(dim_state=4, add_state_pred_head=True)
+    kwargs = dict(latents=jnp.zeros((2, 3, 4, 8)), shortcut_train=False,
+                  rewards=jnp.zeros((2, 3)),
+                  discrete_actions=jnp.zeros((2, 2, 1), jnp.int32))
+    rngs = {'params': jax.random.PRNGKey(0), 'sample': jax.random.PRNGKey(1)}
+
+    model_plain = make_wm(**base)
+    model_bonus = make_wm(**base, state_entropy_bonus_weight=0.5)
+    variables = model_plain.init(rngs, **kwargs)
+
+    env_kwargs = dict(dim_state=4, num_actions=4, max_steps=6)
+    exp_plain = EnvInteractor(model_plain)(
+        variables, MockStateEnv(**env_kwargs), jax.random.PRNGKey(0),
+        max_timesteps=6, num_steps=2)
+    exp_bonus = EnvInteractor(model_bonus)(
+        variables, MockStateEnv(**env_kwargs), jax.random.PRNGKey(0),
+        max_timesteps=6, num_steps=2)
+
+    delta = np.asarray(exp_bonus.rewards) - np.asarray(exp_plain.rewards)
+    valid = np.arange(delta.shape[1])[None] < np.asarray(exp_plain.lens)[:, None]
+    assert np.abs(delta[valid]).max() > 1e-6  # bonus actually applied
+    assert np.isfinite(np.asarray(exp_bonus.rewards)).all()
+
+
 def test_interact_with_image_env():
     tokenizer = VideoTokenizer(
         dim=16, dim_latent=8, patch_size=16, image_height=32, image_width=32,
