@@ -1,17 +1,23 @@
 """Benchmark: imagined env-steps/s/chip for the KV-cached batched decode
-(`generate`) — the north-star metric (BASELINE.md).
+(`generate`) — the north-star metric (BASELINE.md) — plus round-2 depth:
+a batch sweep, MFU, training-step throughput and a long-sequence
+flash-training number.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The headline metric/config is unchanged from round 1 (batch 16) so rounds
+stay comparable; the additional measurements ride in "extra".
 
 Measurement notes (this environment):
 - `block_until_ready` on the tunneled TPU runtime acknowledges before device
   completion, so wall timing must be anchored by a data-dependent scalar
-  fetch. The bench chains `ITERS` rollouts inside one `lax.scan` program and
-  fetches a single reduced scalar; the separately-measured fetch latency is
-  subtracted.
+  fetch. Every measurement chains `ITERS` iterations inside one `lax.scan`
+  program and fetches a single reduced scalar; the separately-measured fetch
+  latency is subtracted.
 - params are initialized on the local CPU backend and transferred (remote-
   compiling the init program is slower than the transfer by an order of
   magnitude).
+- MFU uses XLA's own cost analysis (flops of the compiled program) over the
+  measured wall time, against the v5e bf16 peak of 197 TFLOP/s.
 
 vs_baseline is measured against a conservative estimate of the PyTorch
 reference's imagined env-steps/s on an A100 for a comparable config
@@ -28,19 +34,24 @@ import jax
 import jax.numpy as jnp
 
 REFERENCE_A100_ENV_STEPS_PER_S = 400.0
+V5E_BF16_PEAK_FLOPS = 197e12
 
-BATCH, TIME_STEPS, NUM_STEPS = 16, 16, 4
+TIME_STEPS, NUM_STEPS = 16, 4
+HEADLINE_BATCH = 16
+SWEEP_BATCHES = (16, 256)
+TRAIN_BATCH, TRAIN_T = 8, 32
+LONGSEQ_BATCH, LONGSEQ_T = 1, 1024
 ITERS = 10
 
 
-def main():
-    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+def log(msg):
+    print(f'# {msg}', file=sys.stderr, flush=True)
 
-    from dreamer4_tpu.models.generate import generate
+
+def build_model():
     from dreamer4_tpu.models.world_model import DynamicsWorldModel
 
-    model = DynamicsWorldModel(
+    return DynamicsWorldModel(
         dim=512,
         dim_latent=32,
         num_latent_tokens=16,
@@ -58,58 +69,196 @@ def main():
         dtype=jnp.bfloat16,
     )
 
-    t0 = time.perf_counter()
+
+def init_on_cpu(model, tx=None, seed=0):
+    """Init variables (and optionally the optimizer state) on the local CPU
+    backend, then transfer — far faster than remote-compiling the init."""
     cpu = jax.devices('cpu')[0]
     with jax.default_device(cpu):
         latents = jnp.zeros((2, 2, 16, 32))
-        rngs = {'params': jax.random.PRNGKey(0), 'sample': jax.random.PRNGKey(1)}
+        rngs = {'params': jax.random.PRNGKey(seed), 'sample': jax.random.PRNGKey(seed + 1)}
         variables = jax.jit(lambda: model.init(
             rngs, latents=latents, shortcut_train=False,
             rewards=jnp.zeros((2, 2)),
             discrete_actions=jnp.zeros((2, 1, 1), jnp.int32)))()
         jax.block_until_ready(variables)
-    variables = jax.device_put(variables, jax.devices()[0])
+        opt_state = jax.jit(tx.init)(variables['params']) if tx is not None else None
+    device = jax.devices()[0]
+    variables = jax.device_put(variables, device)
+    if opt_state is not None:
+        opt_state = jax.device_put(opt_state, device)
     jax.block_until_ready(variables)
-    print(f'# init done in {time.perf_counter()-t0:.1f}s', file=sys.stderr)
+    return variables, opt_state
 
-    def chained(v, key):
+
+_fetch_latency = None
+
+
+def fetch_latency():
+    global _fetch_latency
+    if _fetch_latency is None:
+        fetch_fn = jax.jit(lambda x: x + 1.0)
+        _ = fetch_fn(jnp.zeros(()))
+        t0 = time.perf_counter()
+        for i in range(5):
+            _ = float(fetch_fn(jnp.float32(i)))
+        _fetch_latency = (time.perf_counter() - t0) / 5
+        log(f'fetch latency {_fetch_latency*1e3:.1f}ms')
+    return _fetch_latency
+
+
+def timed_scan(fn, args, label, iters=ITERS, want_flops=False):
+    """fn(*args, key) -> scalar contribution. Chains `iters` calls in one
+    scan; returns (seconds_per_iter, flops_per_iter | None)."""
+
+    def chained(a, key):
         def body(carry, k):
-            exp = generate(model, v, k, time_steps=TIME_STEPS,
-                           num_steps=NUM_STEPS, batch_size=BATCH)
-            return carry + jnp.sum(exp.latents) + jnp.sum(exp.rewards), None
+            return carry + fn(*a, k), None
 
         out, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
-                              jax.random.split(key, ITERS))
+                              jax.random.split(key, iters))
         return out
 
-    fn = jax.jit(chained)
-    fetch_fn = jax.jit(lambda x: x + 1.0)
+    jfn = jax.jit(chained)
+    t0 = time.perf_counter()
+    _ = float(jfn(args, jax.random.PRNGKey(0)))
+    log(f'{label}: compile+first-run {time.perf_counter()-t0:.1f}s')
+
+    flops = None
+    if want_flops:
+        try:
+            cost = jfn.lower(args, jax.random.PRNGKey(0)).compile().cost_analysis()
+            if cost and 'flops' in cost:
+                flops = float(cost['flops']) / iters
+        except Exception as e:  # cost analysis is best-effort on this backend
+            log(f'{label}: cost_analysis unavailable ({e})')
 
     t0 = time.perf_counter()
-    _ = float(fn(variables, jax.random.PRNGKey(0)))
-    print(f'# compile+first-run in {time.perf_counter()-t0:.1f}s', file=sys.stderr)
+    _ = float(jfn(args, jax.random.PRNGKey(1)))
+    per_iter = (time.perf_counter() - t0 - fetch_latency()) / iters
+    log(f'{label}: {per_iter*1e3:.1f}ms/iter')
+    return per_iter, flops
 
-    # scalar fetch latency to subtract
-    warm = fetch_fn(jnp.zeros(()))
+
+def main():
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    from dreamer4_tpu.models.generate import generate
+    from dreamer4_tpu.train.optim import muon_adam_atan2
+    from dreamer4_tpu.train.trainers import TrainState, make_world_model_train_step
+
+    model = build_model()
+    tx = muon_adam_atan2(learning_rate=3e-4, clip_grad_norm=1.0)
+
     t0 = time.perf_counter()
-    for i in range(5):
-        _ = float(fetch_fn(jnp.float32(i)))
-    fetch_latency = (time.perf_counter() - t0) / 5
+    variables, opt_state = init_on_cpu(model, tx)
+    log(f'init done in {time.perf_counter()-t0:.1f}s')
 
-    t0 = time.perf_counter()
-    _ = float(fn(variables, jax.random.PRNGKey(1)))
-    total = time.perf_counter() - t0
+    extra = {}
 
-    per_rollout = (total - fetch_latency) / ITERS
-    env_steps_per_s = BATCH * TIME_STEPS / per_rollout
-    print(f'# fetch latency {fetch_latency*1e3:.1f}ms, per-rollout {per_rollout*1e3:.1f}ms',
-          file=sys.stderr)
+    # ---- batch sweep of the north-star decode (+ MFU at each point)
+    headline_steps_per_s = None
+    for batch in SWEEP_BATCHES:
+        def rollout(v, key, _batch=batch):
+            exp = generate(model, v, key, time_steps=TIME_STEPS,
+                           num_steps=NUM_STEPS, batch_size=_batch)
+            return jnp.sum(exp.latents) + jnp.sum(exp.rewards)
+
+        try:
+            per, flops = timed_scan(rollout, (variables,), f'generate b{batch}',
+                                    want_flops=True)
+        except Exception as e:
+            log(f'generate b{batch} failed: {e}')
+            continue
+        steps_per_s = batch * TIME_STEPS / per
+        entry = {'env_steps_per_s': round(steps_per_s, 1),
+                 'ms_per_rollout': round(per * 1e3, 2)}
+        if flops:
+            entry['mfu_pct'] = round(100 * flops / per / V5E_BF16_PEAK_FLOPS, 2)
+        extra[f'generate_batch{batch}_T{TIME_STEPS}'] = entry
+        if batch == HEADLINE_BATCH:
+            headline_steps_per_s = steps_per_s
+
+    # ---- training-step throughput (loss + grad + Muon update)
+    try:
+        ts = TrainState(params=variables['params'],
+                        state=variables.get('state', {}),
+                        opt_state=opt_state,
+                        ema_params=None, step=jnp.zeros((), jnp.int32))
+        train_step = make_world_model_train_step(model, tx)
+
+        def make_batch(b, t, key):
+            return dict(
+                latents=jax.random.normal(key, (b, t, 16, 32), jnp.float32) * 0.5,
+                rewards=jnp.zeros((b, t)),
+                discrete_actions=jnp.zeros((b, t, 1), jnp.int32),
+            )
+
+        batch = jax.device_put(make_batch(TRAIN_BATCH, TRAIN_T, jax.random.PRNGKey(2)),
+                               jax.devices()[0])
+
+        def timed_train(batch_in, label, iters):
+            """Chains train steps by threading the TrainState through the
+            scan carry — each step consumes the previous update, so no part
+            of grad/optimizer work can be dead-code-eliminated."""
+
+            def chained(ts0, b, key):
+                def body(carry, k):
+                    new_ts, loss, _ = train_step(carry, b, k, shortcut_train=False)
+                    return new_ts, loss
+
+                ts_out, losses = jax.lax.scan(body, ts0, jax.random.split(key, iters))
+                return (jnp.sum(losses)
+                        + jnp.sum(ts_out.params['register_tokens'].astype(jnp.float32)))
+
+            jfn = jax.jit(chained)
+            t0 = time.perf_counter()
+            _ = float(jfn(ts, batch_in, jax.random.PRNGKey(0)))
+            log(f'{label}: compile+first-run {time.perf_counter()-t0:.1f}s')
+            flops = None
+            try:
+                cost = jfn.lower(ts, batch_in, jax.random.PRNGKey(0)).compile().cost_analysis()
+                if cost and 'flops' in cost:
+                    flops = float(cost['flops']) / iters
+            except Exception as e:
+                log(f'{label}: cost_analysis unavailable ({e})')
+            t0 = time.perf_counter()
+            _ = float(jfn(ts, batch_in, jax.random.PRNGKey(1)))
+            per = (time.perf_counter() - t0 - fetch_latency()) / iters
+            log(f'{label}: {per*1e3:.1f}ms/step')
+            return per, flops
+
+        per, flops = timed_train(batch, 'train-step', iters=5)
+        entry = {'ms_per_step': round(per * 1e3, 2),
+                 'frames_per_s': round(TRAIN_BATCH * TRAIN_T / per, 1)}
+        if flops:
+            entry['mfu_pct'] = round(100 * flops / per / V5E_BF16_PEAK_FLOPS, 2)
+        extra[f'train_step_b{TRAIN_BATCH}_T{TRAIN_T}'] = entry
+    except Exception as e:
+        log(f'train-step bench failed: {e}')
+
+    # ---- long-sequence training step (fused flash fwd+bwd on time attention)
+    try:
+        long_batch = jax.device_put(
+            make_batch(LONGSEQ_BATCH, LONGSEQ_T, jax.random.PRNGKey(3)),
+            jax.devices()[0])
+        per, flops = timed_train(long_batch, f'train-step T{LONGSEQ_T}', iters=3)
+        entry = {'ms_per_step': round(per * 1e3, 2),
+                 'frames_per_s': round(LONGSEQ_BATCH * LONGSEQ_T / per, 1)}
+        if flops:
+            entry['mfu_pct'] = round(100 * flops / per / V5E_BF16_PEAK_FLOPS, 2)
+        extra[f'train_step_b{LONGSEQ_BATCH}_T{LONGSEQ_T}'] = entry
+    except Exception as e:
+        log(f'long-seq bench failed: {e}')
 
     print(json.dumps({
         'metric': 'imagined_env_steps_per_s_per_chip',
-        'value': round(env_steps_per_s, 2),
+        'value': round(headline_steps_per_s, 2) if headline_steps_per_s else None,
         'unit': 'env_steps/s',
-        'vs_baseline': round(env_steps_per_s / REFERENCE_A100_ENV_STEPS_PER_S, 2),
+        'vs_baseline': (round(headline_steps_per_s / REFERENCE_A100_ENV_STEPS_PER_S, 2)
+                        if headline_steps_per_s else None),
+        'extra': extra,
     }))
 
 

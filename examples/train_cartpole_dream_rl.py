@@ -1,0 +1,249 @@
+"""CartPole learned PURELY IN IMAGINATION — the Dreamer loop.
+
+The policy is never updated on real experience: real CartPole rollouts (with
+the current policy) only feed world-model training; all policy/value-head
+updates come from PPO on dreamed rollouts (`generate` -> heads-only
+`learn_from_experience`). Real-env returns are the *evaluation*, not a
+training signal. This is the reference's DreamTrainer capability
+(`trainers.py:1330-1468`) driven to an actual result, with the terminal-head
+calibration (`terminal_logit_offset`, `min_dream_length`) found necessary in
+round 1.
+
+Success bar (VERDICT round 1): the dream-trained policy measurably beats the
+random-policy baseline (~20-25 return) on real CartPole; the reference
+online-RL gate is 70.
+
+Usage: python examples/train_cartpole_dream_rl.py --target-return 70
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from train_cartpole_with_dynamics_rl import GymnasiumVectorAdapter
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--target-return', type=float, default=70.0)
+    p.add_argument('--max-timesteps', type=int, default=150)
+    p.add_argument('--max-iterations', type=int, default=200)
+    p.add_argument('--objective', choices=('ppo', 'pmpo', 'spo'), default='ppo')
+    p.add_argument('--dim', type=int, default=64)
+    p.add_argument('--depth', type=int, default=2)
+    p.add_argument('--n-envs', type=int, default=16)
+    p.add_argument('--wm-lr', type=float, default=3e-4)
+    p.add_argument('--policy-lr', type=float, default=3e-4)
+    p.add_argument('--value-lr', type=float, default=3e-4)
+    p.add_argument('--wm-updates-per-iter', type=int, default=8)
+    p.add_argument('--dream-updates-per-iter', type=int, default=4)
+    p.add_argument('--warmup-iters', type=int, default=5,
+                   help='iterations of WM-only training before dream RL starts')
+    p.add_argument('--dream-batch', type=int, default=32)
+    p.add_argument('--dream-timesteps', type=int, default=17,
+                   help='16 learnable + 1 bootstrap frame (reference DreamTrainer)')
+    p.add_argument('--num-denoise-steps', type=int, default=4)
+    p.add_argument('--prompt-len', type=int, default=3)
+    p.add_argument('--terminal-logit-offset', type=float, default=2.0)
+    p.add_argument('--min-dream-length', type=int, default=4)
+    p.add_argument('--entropy-weight', type=float, default=0.01)
+    p.add_argument('--replay-iters', type=int, default=20,
+                   help='how many recent collection iterations stay in replay')
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--window', type=int, default=20)
+    p.add_argument('--cpu', action='store_true')
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+
+    import jax.numpy as jnp
+
+    from dreamer4_tpu.envs.interact import EnvInteractor
+    from dreamer4_tpu.models.world_model import DynamicsWorldModel
+    from dreamer4_tpu.train.trainers import (DreamTrainer, TrainState,
+                                             make_world_model_train_step)
+    from dreamer4_tpu.train.optim import muon_adam_atan2
+
+    env = GymnasiumVectorAdapter(n_envs=args.n_envs,
+                                 max_timesteps=args.max_timesteps, seed=args.seed)
+
+    model = DynamicsWorldModel(
+        dim=args.dim,
+        dim_latent=16,
+        num_latent_tokens=4,
+        num_spatial_tokens=4,
+        max_steps=16,
+        depth=args.depth,
+        time_block_every=2,
+        attn_heads=4,
+        attn_dim_head=16,
+        num_discrete_actions=(env.num_actions,),
+        multi_token_pred_len=4,
+        num_register_tokens=4,
+        dim_state=env.dim_state,
+        predict_terminals=True,
+        policy_entropy_weight=args.entropy_weight,
+        keep_reward_ema_stats=True,
+        reward_range=(-args.max_timesteps * 1.2, args.max_timesteps * 1.2),
+    )
+
+    latents0 = jnp.zeros((1, 4, 4, 16))
+    rngs = {'params': jax.random.PRNGKey(args.seed),
+            'sample': jax.random.PRNGKey(args.seed + 1)}
+    variables = model.init(rngs, latents=latents0, shortcut_train=False,
+                           rewards=jnp.zeros((1, 4)), terminals=jnp.zeros((1,), bool),
+                           discrete_actions=jnp.zeros((1, 3, 1), jnp.int32))
+
+    # --- world-model optimizer: trains everything EXCEPT the policy/value
+    # heads — those belong to dream RL alone, otherwise the WM's
+    # behavior-cloning action loss drags the policy back toward the replayed
+    # behavior every iteration (reference DreamTrainer trains heads only,
+    # `trainers.py:1375-1376`)
+    import optax
+
+    from dreamer4_tpu.train.trainers import rl_param_labels
+
+    base_tx = muon_adam_atan2(learning_rate=args.wm_lr, clip_grad_norm=1.0)
+    wm_tx = optax.multi_transform(
+        {'frozen': base_tx, 'policy': optax.set_to_zero(),
+         'value': optax.set_to_zero()},
+        lambda params: rl_param_labels(params, model))
+    wm_step = make_world_model_train_step(model, wm_tx)
+    wm_ts = TrainState(params=variables['params'],
+                       state=variables.get('state', {}),
+                       opt_state=wm_tx.init(variables['params']),
+                       ema_params=None, step=jnp.zeros((), jnp.int32))
+
+    # --- replay of real experience (host side, fixed shapes)
+    replay: list[dict] = []
+    rng = np.random.default_rng(args.seed)
+
+    T_fixed = args.max_timesteps + 1  # pad to one static shape: one jit program
+
+    def pad_t(x, t_axis=1):
+        pad = T_fixed - x.shape[t_axis]
+        if pad <= 0:
+            return x[tuple(slice(None) if a != t_axis else slice(T_fixed)
+                           for a in range(x.ndim))]
+        widths = [(0, 0)] * x.ndim
+        widths[t_axis] = (0, pad)
+        return np.pad(x, widths)
+
+    def add_to_replay(exp):
+        item = dict(
+            latents=pad_t(np.asarray(exp.latents)),
+            rewards=pad_t(np.asarray(exp.rewards)),
+            terminals=np.asarray(exp.terminals),
+            discrete_actions=pad_t(np.asarray(exp.actions.discrete)),
+            lens=np.asarray(exp.lens),
+        )
+        replay.append(item)
+        if len(replay) > args.replay_iters:
+            replay.pop(0)
+
+    def sample_wm_batch():
+        item = replay[rng.integers(len(replay))]
+        return {k: jnp.asarray(v) for k, v in item.items()}
+
+    # prompts: random real-latent windows anchor the dreams in-distribution
+    prompt_len = args.prompt_len
+
+    def prompt_fn(key):
+        item = replay[rng.integers(len(replay))]
+        T = item['latents'].shape[1]
+        b = args.dream_batch
+        rows = rng.integers(0, item['latents'].shape[0], size=b)
+        # start inside the valid prefix of each episode
+        lens = np.maximum(item['lens'][rows], prompt_len + 1)
+        starts = (rng.random(b) * np.maximum(lens - prompt_len - 1, 1)).astype(int)
+        idx_t = starts[:, None] + np.arange(prompt_len)[None]
+        lat = item['latents'][rows[:, None], idx_t]
+        act = item['discrete_actions'][rows[:, None], idx_t]
+        rew = item['rewards'][rows[:, None], idx_t]
+        return dict(prompt_latents=jnp.asarray(lat),
+                    prompt_discrete_actions=jnp.asarray(act),
+                    prompt_rewards=jnp.asarray(rew))
+
+    dream_trainer = DreamTrainer(
+        model, variables,
+        time_steps=args.dream_timesteps,
+        num_steps=args.num_denoise_steps,
+        batch_size=args.dream_batch,
+        objective=args.objective,
+        policy_lr=args.policy_lr, value_lr=args.value_lr,
+        prompt_fn=prompt_fn,
+        generate_kwargs=dict(
+            terminal_logit_offset=args.terminal_logit_offset,
+            min_dream_length=args.min_dream_length,
+        ))
+
+    interactor = EnvInteractor(model)
+
+    key = jax.random.PRNGKey(args.seed)
+    wm_key = jax.random.PRNGKey(args.seed + 7)
+    returns: list[float] = []
+    t0 = time.time()
+
+    for it in range(args.max_iterations):
+        # ---- 1. collect real experience with the CURRENT policy (eval only)
+        exp = interactor({'params': dream_trainer.rl_state.params,
+                          'state': dream_trainer.state_collection},
+                         env, jax.random.fold_in(key, it),
+                         num_steps=args.num_denoise_steps,
+                         max_timesteps=args.max_timesteps)
+        add_to_replay(exp)
+        batch_returns = np.asarray(exp.episode_return).tolist()
+        returns.extend(batch_returns)
+
+        # ---- 2. world-model training on replayed real experience
+        wm_ts = wm_ts._replace(params=dream_trainer.rl_state.params,
+                               state=dream_trainer.state_collection)
+        wm_losses = []
+        for u in range(args.wm_updates_per_iter):
+            wm_key, sub = jax.random.split(wm_key)
+            shortcut = bool(rng.random() < model.prob_shortcut_train)
+            wm_ts, wm_loss, _ = wm_step(wm_ts, sample_wm_batch(), sub,
+                                        shortcut_train=shortcut)
+            wm_losses.append(float(wm_loss))
+        dream_trainer.rl_state = dream_trainer.rl_state._replace(params=wm_ts.params)
+        dream_trainer.state_collection = wm_ts.state
+
+        # ---- 3. policy/value updates purely from dreams
+        dream_lens = []
+        dream_rewards = []
+        if it >= args.warmup_iters:
+            for u in range(args.dream_updates_per_iter):
+                dream, out = dream_trainer.step(
+                    jax.random.fold_in(jax.random.fold_in(key, it), 1000 + u))
+                dream_lens.append(float(np.mean(np.asarray(dream.lens))))
+                dream_rewards.append(float(np.mean(np.asarray(dream.rewards))))
+
+        window = returns[-args.window:]
+        avg = float(np.mean(window))
+        print(f'iter {it}: real return {np.mean(batch_returns):.1f} '
+              f'(window avg {avg:.1f}) wm_loss {np.mean(wm_losses):.3f} '
+              f'dream_len {np.mean(dream_lens) if dream_lens else 0:.1f} '
+              f'dream_r {np.mean(dream_rewards) if dream_rewards else 0:.2f} '
+              f'[{time.time() - t0:.0f}s]', flush=True)
+
+        if len(window) >= args.window and avg >= args.target_return:
+            print(f'SOLVED IN IMAGINATION at iteration {it}: '
+                  f'avg real return {avg:.1f} >= {args.target_return}')
+            return 0
+
+    print(f'final window avg {float(np.mean(returns[-args.window:])):.1f} '
+          f'(random baseline ~22)')
+    return 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())
