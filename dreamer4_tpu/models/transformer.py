@@ -115,6 +115,7 @@ class AxialSpaceTimeTransformer(nn.Module):
     h_net_heads: int = 4
     h_net_dim_head: int = 32
     h_net_compression_ratio: int = 4
+    h_net_dynamic: bool = False             # learned data-dependent chunk boundaries
     ff_expansion_factor: float = 4.0
     ff_activation: str = 'silu'
     gate_values: bool = True
@@ -158,10 +159,15 @@ class AxialSpaceTimeTransformer(nn.Module):
                 for _ in self.spatial_module_layers)
         h_net = None
         if self.h_net_layer is not None:
-            from ..nn.hnet import HierarchicalTemporalTransformer
+            from ..nn.hnet import (DynamicChunkingTemporalTransformer,
+                                   HierarchicalTemporalTransformer)
 
+            cls = (DynamicChunkingTemporalTransformer if self.h_net_dynamic
+                   else HierarchicalTemporalTransformer)
             max_chunks = -(-max_time // self.h_net_compression_ratio)
-            h_net = HierarchicalTemporalTransformer(
+            if self.h_net_dynamic:
+                max_chunks *= 2   # match the parallel path's slot budget
+            h_net = cls(
                 dim=self.dim, depth=self.h_net_depth, heads=self.h_net_heads,
                 dim_head=self.h_net_dim_head,
                 compression_ratio=self.h_net_compression_ratio,
@@ -380,9 +386,12 @@ class AxialSpaceTimeTransformer(nn.Module):
             # hierarchical temporal transformer splice (reference
             # `dreamer4.py:3151-3170`)
             if self.h_net_layer is not None and i == self.h_net_layer:
-                from ..nn.hnet import HierarchicalTemporalTransformer
+                from ..nn.hnet import (DynamicChunkingTemporalTransformer,
+                                       HierarchicalTemporalTransformer)
 
-                hnet = HierarchicalTemporalTransformer(
+                hnet_cls = (DynamicChunkingTemporalTransformer if self.h_net_dynamic
+                            else HierarchicalTemporalTransformer)
+                hnet = hnet_cls(
                     dim=self.dim, depth=self.h_net_depth, heads=self.h_net_heads,
                     dim_head=self.h_net_dim_head,
                     compression_ratio=self.h_net_compression_ratio,

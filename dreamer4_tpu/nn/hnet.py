@@ -36,6 +36,23 @@ from .attention import Attention, FeedForward, KVCache
 from .norms import RMSNorm
 
 
+class DynamicHNetCache(NamedTuple):
+    """Streaming state for `DynamicChunkingTemporalTransformer`. Boundary
+    placement is per batch element, so chunk counts and summaries are ragged
+    across the batch — every field carries an explicit batch dim and cache
+    writes are per-batch masked scatters."""
+
+    inner_k: tuple             # per inner layer (B, H, C_max, dh) chunk keys
+    inner_v: tuple
+    chunk_counts: jax.Array    # (B,) int32 — completed chunks so far
+    mass: jax.Array            # (B,) f32 — cumulative boundary mass
+    acc_x: jax.Array           # (B, d) — online-softmax weighted frame sum
+    acc_w: jax.Array           # (B,) — online-softmax weight sum
+    acc_max: jax.Array         # (B,) — online-softmax running max score
+    last_summary: jax.Array    # (B, d) — inner output of the latest chunk
+    has_summary: jax.Array     # (B,) f32 0/1
+
+
 class HNetCache(NamedTuple):
     inner_kv: tuple            # per inner layer KVCache over chunk axis
     partial: jax.Array         # (B, R, d) in-progress chunk frames
@@ -43,6 +60,222 @@ class HNetCache(NamedTuple):
     last_summary: jax.Array    # (B, d) inner output of the latest completed chunk
     has_summary: jax.Array     # scalar bool-ish float
 
+
+
+class DynamicChunkingTemporalTransformer(nn.Module):
+    """H-Net with *learned, data-dependent chunk boundaries* under XLA's
+    static-shape model (reference `h_net_dynamic_chunking`,
+    `dreamer4.py:2737-2758`).
+
+    Mechanism (all shapes static):
+    - a boundary head emits p_t = sigmoid(score(x_t)) per frame; the
+      cumulative boundary mass m_t = cumsum(p)_t assigns frame t to chunk
+      c_t = floor(m_t) — boundaries move wherever the content pushes mass
+      across integers, so placement is learned, per batch element;
+    - each chunk is summarized by an exact within-chunk content softmax
+      (segment softmax over frames with the same c_t, computed online in
+      streaming mode with a running max);
+    - gradients reach the boundary probabilities through a straight-through
+      term (1 + m_t - stop_grad(m_t)) on each frame's contribution —
+      value-neutral, gradient-carrying — plus the ratio loss
+      (mean(p) - 1/compression_ratio)^2 that anchors the average chunk rate
+      (the reference H-Net's ratio loss);
+    - a small causal inner transformer (NoPE over the chunk axis) runs over
+      completed-chunk summaries; every frame reads the inner output of the
+      latest chunk completed strictly before it, added through a gate.
+
+    Chunk counts are ragged ACROSS THE BATCH (each element places its own
+    boundaries); the inner attention masks per-batch validity, and the
+    streaming cache commits per-batch with masked scatters. The slot budget
+    is `2 * ceil(T / compression_ratio)` — mass is clipped there, which the
+    ratio loss keeps far from binding.
+    """
+
+    dim: int
+    depth: int = 2
+    heads: int = 4
+    dim_head: int = 32
+    compression_ratio: int = 4
+
+    def init_cache(self, batch: int, max_chunks: int, dtype=jnp.float32) -> DynamicHNetCache:
+        return DynamicHNetCache(
+            inner_k=tuple(
+                jnp.zeros((batch, self.heads, max_chunks, self.dim_head), dtype)
+                for _ in range(self.depth)),
+            inner_v=tuple(
+                jnp.zeros((batch, self.heads, max_chunks, self.dim_head), dtype)
+                for _ in range(self.depth)),
+            chunk_counts=jnp.zeros((batch,), jnp.int32),
+            mass=jnp.zeros((batch,), jnp.float32),
+            acc_x=jnp.zeros((batch, self.dim), dtype),
+            acc_w=jnp.zeros((batch,), jnp.float32),
+            acc_max=jnp.full((batch,), -1e30, jnp.float32),
+            last_summary=jnp.zeros((batch, self.dim), dtype),
+            has_summary=jnp.zeros((batch,), jnp.float32),
+        )
+
+    def setup(self):
+        self.boundary_head = nn.Dense(1)
+        self.score_head = nn.Dense(1)
+        self.score_norm = RMSNorm()
+        self.gate_head = nn.Dense(self.dim)
+        self.proj_out = nn.Dense(self.dim)
+        self.inner_layers = [
+            dict(
+                norm=RMSNorm(),
+                to_q=nn.Dense(self.heads * self.dim_head, use_bias=False),
+                to_k=nn.Dense(self.heads * self.dim_head, use_bias=False),
+                to_v=nn.Dense(self.heads * self.dim_head, use_bias=False),
+                to_out=nn.Dense(self.dim, use_bias=False),
+                ff=FeedForward(dim=self.dim),
+            )
+            for _ in range(self.depth)
+        ]
+
+    def boundary_probs(self, x) -> jax.Array:
+        """(B, T, d) -> (B, T) learned boundary probabilities."""
+        return jax.nn.sigmoid(self.boundary_head(self.score_norm(x))[..., 0])
+
+    def _inner_kv(self, layer, h):
+        """h: (B, n, d) -> k, v: (B, heads, n, dh)."""
+        B, n, _ = h.shape
+        hn = layer['norm'](h)
+        k = layer['to_k'](hn).reshape(B, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        v = layer['to_v'](hn).reshape(B, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        return k, v
+
+    def _inner_attend(self, layer, h, k_all, v_all, mask):
+        """h: (B, n, d) queries; k/v: (B, heads, m, dh); mask (B, n, m)."""
+        B, n, _ = h.shape
+        hn = layer['norm'](h)
+        q = layer['to_q'](hn).reshape(B, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        s = jnp.einsum('bhnd,bhmd->bhnm', q, k_all) * self.dim_head ** -0.5
+        s = jnp.where(mask[:, None], s, -1e30)
+        # fully-masked rows (no completed chunks yet) produce zeros
+        p = jax.nn.softmax(s, axis=-1)
+        p = jnp.where(jnp.any(mask[:, None], axis=-1, keepdims=True), p, 0.0)
+        o = jnp.einsum('bhnm,bhmd->bhnd', p, v_all)
+        o = o.transpose(0, 2, 1, 3).reshape(B, n, self.heads * self.dim_head)
+        return layer['to_out'](o)
+
+    def __call__(self, x, cache: DynamicHNetCache | None = None):
+        """x: (B, T, d) -> (out, ratio_loss, next_cache). Without a cache,
+        T may be any length (training / prefill); with a cache, T == 1."""
+        B, T, d = x.shape
+        R = self.compression_ratio
+        score_head, norm = self.score_head, self.score_norm
+        gate_head, proj_out, inner = self.gate_head, self.proj_out, self.inner_layers
+
+        if cache is None:
+            C = 2 * ((T + R - 1) // R)          # slot budget (2x slack)
+
+            p_bound = self.boundary_probs(x)                           # (B, T)
+            mass = jnp.cumsum(p_bound, axis=1)
+            mass = jnp.minimum(mass, C - 1e-3)
+            chunk_id = jnp.floor(mass).astype(jnp.int32)               # (B, T)
+
+            # within-chunk exact segment softmax over content scores, with a
+            # straight-through factor carrying gradients to the boundary head
+            scores = score_head(norm(x))[..., 0]                       # (B, T)
+            onehot = jax.nn.one_hot(chunk_id, C, dtype=x.dtype)        # (B, T, C)
+            seg_max = jnp.max(
+                jnp.where(onehot > 0, scores[..., None], -1e30), axis=1)  # (B, C)
+            e = jnp.exp(scores - jnp.take_along_axis(seg_max, chunk_id, axis=1))
+            st = 1.0 + mass - jax.lax.stop_gradient(mass)              # == 1.0
+            w = e * st                                                 # (B, T)
+            seg_wsum = jnp.einsum('bt,btc->bc', w, onehot)             # (B, C)
+            seg_xsum = jnp.einsum('bt,btc,btd->bcd', w, onehot, x)
+            summaries = seg_xsum / jnp.maximum(seg_wsum, 1e-30)[..., None]
+
+            num_chunks = chunk_id[:, -1] + 1                           # (B,)
+            chunk_valid = jnp.arange(C)[None, :] < num_chunks[:, None]
+
+            # ratio loss: anchor the mean boundary rate at 1/R
+            ratio_loss = jnp.mean((jnp.mean(p_bound, axis=1) - 1.0 / R) ** 2)
+
+            # causal inner transformer over chunk summaries (NoPE chunk axis)
+            h = summaries
+            causal = (jnp.arange(C)[:, None] >= jnp.arange(C)[None, :])
+            mask = causal[None] & chunk_valid[:, None, :]
+            for layer in inner:
+                k_all, v_all = self._inner_kv(layer, h)
+                h = h + self._inner_attend(layer, h, k_all, v_all, mask)
+                h = h + layer['ff'](h)
+            h = proj_out(h)                                            # (B, C, d)
+
+            # frame t reads the latest chunk completed STRICTLY before it:
+            # chunk c_t - 1 (it contains only frames < t)
+            prev = chunk_id - 1                                        # (B, T)
+            gathered = jnp.where(
+                prev[..., None] >= 0,
+                jnp.take_along_axis(h, jnp.maximum(prev, 0)[..., None], axis=1),
+                0.0)
+            gate = jax.nn.sigmoid(gate_head(x))
+            return x + gate * gathered, ratio_loss, None
+
+        # ------------------------------------------------ streaming (T == 1)
+        assert T == 1
+        xt = x[:, 0]                                                   # (B, d)
+        C_max = cache.inner_k[0].shape[-2]
+
+        p_t = self.boundary_probs(xt[:, None])[:, 0]                   # (B,)
+        mass = jnp.minimum(cache.mass + p_t, C_max - 1e-3)
+        c_new = jnp.floor(mass).astype(jnp.int32)                      # (B,)
+        c_old = jnp.floor(cache.mass).astype(jnp.int32)
+        complete = (c_new > c_old) & (cache.acc_w > 0)                 # (B,)
+
+        # finalize the old chunk's summary from the online-softmax state
+        finalized = cache.acc_x / jnp.maximum(cache.acc_w, 1e-30)[:, None]
+
+        # inner transformer step on the finalized summary; commits per batch
+        h = finalized[:, None]                                         # (B, 1, d)
+        new_inner_k, new_inner_v = [], []
+        slot = c_old                                                   # chunk being written
+        write_mask = (jnp.arange(C_max)[None, :] == slot[:, None])     # (B, C_max)
+        kv_valid = (jnp.arange(C_max)[None, :] <= slot[:, None])       # chunks 0..slot
+        for layer, k_buf, v_buf in zip(inner, cache.inner_k, cache.inner_v):
+            k_new, v_new = self._inner_kv(layer, h)                    # (B, H, 1, dh)
+            commit = complete[:, None, None, None] & write_mask[:, None, :, None]
+            k_all = jnp.where(commit, k_new, k_buf)
+            v_all = jnp.where(commit, v_new, v_buf)
+            att_mask = kv_valid[:, None, :]                            # (B, 1, C_max)
+            h = h + self._inner_attend(layer, h, k_all, v_all, att_mask)
+            h = h + layer['ff'](h)
+            new_inner_k.append(jnp.where(complete[:, None, None, None], k_all, k_buf))
+            new_inner_v.append(jnp.where(complete[:, None, None, None], v_all, v_buf))
+        h = proj_out(h[:, 0])                                          # (B, d)
+
+        last_summary = jnp.where(complete[:, None], h, cache.last_summary)
+        has_summary = jnp.maximum(cache.has_summary, complete.astype(jnp.float32))
+        chunk_counts = jnp.where(complete, cache.chunk_counts + 1, cache.chunk_counts)
+
+        # reset or continue the accumulator, then add frame t to chunk c_new
+        acc_x = jnp.where(complete[:, None], 0.0, cache.acc_x)
+        acc_w = jnp.where(complete, 0.0, cache.acc_w)
+        acc_max = jnp.where(complete, -1e30, cache.acc_max)
+
+        score_t = score_head(norm(xt))[..., 0]                         # (B,)
+        new_max = jnp.maximum(acc_max, score_t)
+        rescale = jnp.exp(acc_max - new_max)
+        e_t = jnp.exp(score_t - new_max)
+        acc_x = acc_x * rescale[:, None] + e_t[:, None] * xt
+        acc_w = acc_w * rescale + e_t
+        acc_max = new_max
+
+        # output: latest completed chunk strictly before this frame — chunk
+        # c_new - 1, whose inner output is last_summary (fresh if it
+        # completed this very frame)
+        gathered = last_summary * has_summary[:, None]
+        gate = jax.nn.sigmoid(gate_head(xt))
+        out = (xt + gate * gathered)[:, None]
+
+        next_cache = DynamicHNetCache(
+            inner_k=tuple(new_inner_k), inner_v=tuple(new_inner_v),
+            chunk_counts=chunk_counts, mass=mass,
+            acc_x=acc_x, acc_w=acc_w, acc_max=acc_max,
+            last_summary=last_summary, has_summary=has_summary,
+        )
+        return out, jnp.zeros(()), next_cache
 
 
 class HierarchicalTemporalTransformer(nn.Module):

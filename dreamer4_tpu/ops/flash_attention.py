@@ -1,7 +1,7 @@
-"""Pallas TPU fused attention kernel.
+"""Pallas TPU fused attention kernels.
 
 The TPU-native equivalent of the reference's flex-attention path
-(`dreamer4.py:100-109, 1841-1852`): one fused kernel covering the full mask
+(`dreamer4.py:100-109, 1841-1852`): fused kernels covering the full mask
 family this framework needs —
 
   - logit softclamp (Gemma-style tanh)
@@ -10,20 +10,25 @@ family this framework needs —
   - grouped-query attention (query heads a multiple of kv heads)
   - a KV validity length (cached decode over preallocated buffers)
 
-Design: grid over (batch, q-head, q-blocks); keys/values for the matching kv
-head stay VMEM-resident per program (sequence lengths in this framework are
-at most a few thousand, far under VMEM), and the kernel runs an online-
-softmax loop over k blocks on the MXU. Mask predicates are evaluated from
-block iotas inside the kernel — nothing is materialized in HBM.
+Design (flash-attention-2 on the Mosaic pipeline): the grid iterates
+(batch, q-head, q-block, KV-block) with the KV-block dimension marked
+`arbitrary` (sequential) — online-softmax state lives in VMEM scratch that
+persists across KV iterations, so only one KV tile is resident at a time
+(O(1) VMEM in sequence length; the round-1 design kept full K/V resident
+and hit the 16 MB VMEM wall at N=8192). Mask predicates are evaluated from
+block iotas inside the kernel — nothing is materialized in HBM — and
+fully-masked KV tiles are skipped via `pl.when` (causal halves the work).
+MXU dots run in the input dtype (native bf16 when the model is bf16) with
+f32 accumulation.
 
 The public entry `flash_attend` carries a custom VJP. At training shapes
-(q_block == 128) the backward is a pair of fused Pallas kernels — dq gridded
-over query blocks, dk/dv gridded over key blocks — that recompute scores
-from the forward-saved log-sum-exp (O(N) memory, flash-attention-2 style).
-At tiny decode shapes the backward falls back to the rematerialized
-reference attention (gradients are rarely needed there). `naive_attend`
-parity for values AND gradients is tested in interpret mode on CPU (the
-reference's flex-vs-naive invariant, test_dreamer.py:241-281).
+(q_block == 128) the backward is a pair of fused kernels — dq gridded over
+(q-block, kv-block), dk/dv gridded over (kv-block, q-block) — recomputing
+probabilities from the forward-saved log-sum-exp (O(N) memory). At tiny
+decode shapes the backward falls back to the rematerialized reference
+attention (gradients are rarely needed there). `naive_attend` parity for
+values AND gradients is tested in interpret mode on CPU (the reference's
+flex-vs-naive invariant, test_dreamer.py:241-281).
 """
 from __future__ import annotations
 
@@ -45,88 +50,100 @@ NEG_INF = -1e30
 LSE_LANES = 128
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _mask_block(q_pos, k_pos, kv_len, offset, *, causal, num_special,
+                special_seq_len, special_attend_only_itself):
+    """The shared mask-predicate family, evaluated from iotas."""
+    mask = k_pos < kv_len
+    if causal:
+        mask &= k_pos <= (q_pos + offset)
+    if num_special > 0:
+        qm = (q_pos + offset) % special_seq_len
+        km = k_pos % special_seq_len
+        q_sp = qm >= (special_seq_len - num_special)
+        k_sp = km >= (special_seq_len - num_special)
+        if special_attend_only_itself:
+            mask &= ~(q_sp & ~k_sp)
+        else:
+            mask &= ~(~q_sp & k_sp)
+    return mask
+
+
+def _block_relevant(q_start, q_block, k_start, block_k, kv_len, offset, causal):
+    """Whether any (q, k) pair in this tile can be unmasked — used to skip
+    whole KV tiles (the causal lower triangle and invalid cache tail)."""
+    relevant = k_start < kv_len
+    if causal:
+        relevant &= k_start <= q_start + q_block - 1 + offset
+    return relevant
+
+
+# ---------------------------------------------------------------- forward
+
 def _attn_kernel(
-    # scalar prefetch
-    offset_ref,      # (1,) int32 — causal offset (query absolute start)
-    kv_len_ref,      # (1,) int32 — valid kv length
-    # inputs
-    q_ref,           # (bq, d)
-    k_ref,           # (m_pad, d)
-    v_ref,           # (m_pad, d)
-    # output
-    o_ref,           # (bq, d)
-    lse_ref,         # (bq,) log-sum-exp per query row | None
-    *,
-    scale: float,
-    softclamp: float | None,
-    causal: bool,
-    num_special: int,
-    special_seq_len: int,
-    special_attend_only_itself: bool,
-    block_k: int,
-    q_block: int,
-    m_pad: int,
+    offset_ref, kvlen_ref,          # scalar prefetch: (1,) int32 each
+    q_ref,                          # (1, 1, q_block, d_pad)
+    k_ref, v_ref,                   # (1, 1, block_k, d_pad)
+    o_ref,                          # (1, 1, q_block, d_pad)
+    lse_ref,                        # (1, 1, q_block, LSE_LANES) | None
+    m_scr, l_scr,                   # (q_block, LSE_LANES) f32 scratch
+    acc_scr,                        # (q_block, d_pad) f32 scratch
+    *, scale, softclamp, causal, num_special, special_seq_len,
+    special_attend_only_itself, block_k, q_block,
 ):
-    i_block = pl.program_id(2)
+    i, j = pl.program_id(2), pl.program_id(3)
+    nj = pl.num_programs(3)
     offset = offset_ref[0]
-    kv_len = kv_len_ref[0]
+    kv_len = kvlen_ref[0]
+    q_start = i * q_block
+    k_start = j * block_k
 
-    q = q_ref[:].astype(jnp.float32)
-    bq, d = q.shape
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0) + i_block * q_block
-
-    m_i = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l_i = jnp.zeros((bq, 1), jnp.float32)
-    acc = jnp.zeros((bq, d), jnp.float32)
-
-    num_k_blocks = m_pad // block_k
-
-    def body(j, carry):
-        m_i, l_i, acc = carry
-        k_blk = k_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+    @pl.when(_block_relevant(q_start, q_block, k_start, block_k, kv_len,
+                             offset, causal))
+    def _update():
+        # MXU dots in the input dtype (native bf16 fast path); f32 accum
+        q = q_ref[0, 0]
+        k_blk = k_ref[0, 0]
+        v_blk = v_ref[0, 0]
 
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
-
         if softclamp is not None:
             s = jnp.tanh(s / softclamp) * softclamp
 
-        k_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
-
-        mask = k_pos < kv_len
-        if causal:
-            mask &= k_pos <= (q_pos + offset)
-        if num_special > 0:
-            qm = (q_pos + offset) % special_seq_len
-            km = k_pos % special_seq_len
-            q_sp = qm >= (special_seq_len - num_special)
-            k_sp = km >= (special_seq_len - num_special)
-            if special_attend_only_itself:
-                mask &= ~(q_sp & ~k_sp)
-            else:
-                mask &= ~(~q_sp & k_sp)
-
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (q_block, block_k), 0) + q_start
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (q_block, block_k), 1) + k_start
+        mask = _mask_block(q_pos, k_pos, kv_len, offset, causal=causal,
+                           num_special=num_special, special_seq_len=special_seq_len,
+                           special_attend_only_itself=special_attend_only_itself)
         s = jnp.where(mask, s, NEG_INF)
 
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_i - m_new)
+        m_prev = m_scr[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
 
-        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
+        l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+            p.astype(v_blk.dtype), v_blk, preferred_element_type=jnp.float32)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
-    m_i, l_i, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m_i, l_i, acc))
-
-    o_ref[:] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
-    if lse_ref is not None:
-        lse = m_i + jnp.log(jnp.maximum(l_i, 1e-30))        # (bq, 1)
-        lse_ref[:] = jnp.broadcast_to(lse, (bq, LSE_LANES))
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+    @pl.when(j == nj - 1)
+    def _finalize():
+        l = jnp.maximum(l_scr[:, 0:1], 1e-30)
+        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse = m_scr[:, 0:1] + jnp.log(l)
+            lse_ref[0, 0] = jnp.broadcast_to(lse, (q_block, LSE_LANES))
 
 
 @functools.partial(
@@ -179,44 +196,43 @@ def flash_attend_fwd(
         special_attend_only_itself=special_attend_only_itself,
         block_k=block_k,
         q_block=q_block,
-        m_pad=m_pad,
     )
+
+    out_specs = [pl.BlockSpec((1, 1, q_block, d_pad), lambda b, h, i, j, *_: (b, h, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B, Hq, n_pad, d_pad), q.dtype)]
+    if return_lse:
+        out_specs.append(pl.BlockSpec((1, 1, q_block, LSE_LANES),
+                                      lambda b, h, i, j, *_: (b, h, i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((B, Hq, n_pad, LSE_LANES), jnp.float32))
+
+        def kernel_wrap(o_r, kv_r, q_r, k_r, v_r, out_r, lse_r, m_s, l_s, a_s):
+            kernel(o_r, kv_r, q_r, k_r, v_r, out_r, lse_r, m_s, l_s, a_s)
+    else:
+        def kernel_wrap(o_r, kv_r, q_r, k_r, v_r, out_r, m_s, l_s, a_s):
+            kernel(o_r, kv_r, q_r, k_r, v_r, out_r, None, m_s, l_s, a_s)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, Hq, n_pad // q_block),
+        grid=(B, Hq, n_pad // q_block, m_pad // block_k),
         in_specs=[
-            pl.BlockSpec((1, 1, q_block, d_pad), lambda b, h, i, *_: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, m_pad, d_pad), lambda b, h, i, *_: (b, h // groups, 0, 0)),
-            pl.BlockSpec((1, 1, m_pad, d_pad), lambda b, h, i, *_: (b, h // groups, 0, 0)),
+            pl.BlockSpec((1, 1, q_block, d_pad), lambda b, h, i, j, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, d_pad), lambda b, h, i, j, *_: (b, h // groups, j, 0)),
+            pl.BlockSpec((1, 1, block_k, d_pad), lambda b, h, i, j, *_: (b, h // groups, j, 0)),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, q_block, d_pad), lambda b, h, i, *_: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, q_block, LSE_LANES), lambda b, h, i, *_: (b, h, i, 0)),
-        ) if return_lse else
-        pl.BlockSpec((1, 1, q_block, d_pad), lambda b, h, i, *_: (b, h, i, 0)),
+        out_specs=tuple(out_specs) if return_lse else out_specs[0],
+        scratch_shapes=[
+            pltpu.VMEM((q_block, LSE_LANES), jnp.float32),
+            pltpu.VMEM((q_block, LSE_LANES), jnp.float32),
+            pltpu.VMEM((q_block, d_pad), jnp.float32),
+        ],
     )
-
-    if return_lse:
-        def kernel_wrap(offset_ref, kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref):
-            kernel(offset_ref, kvlen_ref,
-                   q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0],
-                   o_ref.at[0, 0], lse_ref.at[0, 0])
-
-        out_shape = (jax.ShapeDtypeStruct((B, Hq, n_pad, d_pad), q.dtype),
-                     jax.ShapeDtypeStruct((B, Hq, n_pad, LSE_LANES), jnp.float32))
-    else:
-        def kernel_wrap(offset_ref, kvlen_ref, q_ref, k_ref, v_ref, o_ref):
-            kernel(offset_ref, kvlen_ref,
-                   q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0],
-                   o_ref.at[0, 0], None)
-
-        out_shape = jax.ShapeDtypeStruct((B, Hq, n_pad, d_pad), q.dtype)
 
     out = pl.pallas_call(
         kernel_wrap,
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=tuple(out_shape) if return_lse else out_shape[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'parallel', 'arbitrary')),
         interpret=interpret,
     )(jnp.asarray([offset], jnp.int32), jnp.asarray([kv_len], jnp.int32), qp, kp, vp)
 
@@ -227,24 +243,6 @@ def flash_attend_fwd(
 
 
 # ------------------------------------------------------------ fused backward
-
-def _mask_block(q_pos, k_pos, kv_len, offset, *, causal, num_special,
-                special_seq_len, special_attend_only_itself):
-    """Same predicate family as the forward kernel, evaluated from iotas."""
-    mask = k_pos < kv_len
-    if causal:
-        mask &= k_pos <= (q_pos + offset)
-    if num_special > 0:
-        qm = (q_pos + offset) % special_seq_len
-        km = k_pos % special_seq_len
-        q_sp = qm >= (special_seq_len - num_special)
-        k_sp = km >= (special_seq_len - num_special)
-        if special_attend_only_itself:
-            mask &= ~(q_sp & ~k_sp)
-        else:
-            mask &= ~(~q_sp & k_sp)
-    return mask
-
 
 def _recompute_p_ds(q, k_blk, v_blk, do, lse, delta, mask, *, scale, softclamp):
     """Recompute probabilities and score gradients for one (q, k) tile.
@@ -269,71 +267,87 @@ def _recompute_p_ds(q, k_blk, v_blk, do, lse, delta, mask, *, scale, softclamp):
 
 
 def _bwd_dq_kernel(offset_ref, kvlen_ref, q_ref, k_ref, v_ref, do_ref,
-                   lse_ref, delta_ref, dq_ref, *, scale, softclamp, causal,
-                   num_special, special_seq_len, special_attend_only_itself,
-                   block_k, q_block, m_pad):
-    i_block = pl.program_id(2)
+                   lse_ref, delta_ref, dq_ref, dq_scr, *, scale, softclamp,
+                   causal, num_special, special_seq_len,
+                   special_attend_only_itself, block_k, q_block):
+    i, j = pl.program_id(2), pl.program_id(3)
+    nj = pl.num_programs(3)
     offset = offset_ref[0]
     kv_len = kvlen_ref[0]
+    q_start = i * q_block
+    k_start = j * block_k
 
-    q = q_ref[:].astype(jnp.float32)
-    do = do_ref[:].astype(jnp.float32)
-    lse = lse_ref[:, 0:1]       # (bq, 1)
-    delta = delta_ref[:, 0:1]   # (bq, 1)
-    bq, d = q.shape
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0) + i_block * q_block
+    @pl.when(_block_relevant(q_start, q_block, k_start, block_k, kv_len,
+                             offset, causal))
+    def _update():
+        q = q_ref[0, 0]
+        k_blk = k_ref[0, 0]
+        v_blk = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, 0:1]
+        delta = delta_ref[0, 0][:, 0:1]
 
-    def body(j, dq):
-        k_blk = k_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        k_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (q_block, block_k), 0) + q_start
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (q_block, block_k), 1) + k_start
         mask = _mask_block(q_pos, k_pos, kv_len, offset, causal=causal,
                            num_special=num_special, special_seq_len=special_seq_len,
                            special_attend_only_itself=special_attend_only_itself)
         _, ds = _recompute_p_ds(q, k_blk, v_blk, do, lse, delta, mask,
                                 scale=scale, softclamp=softclamp)
-        return dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+        dq_scr[:] = dq_scr[:] + jnp.dot(ds.astype(k_blk.dtype), k_blk,
+                                        preferred_element_type=jnp.float32)
 
-    dq = jax.lax.fori_loop(0, m_pad // block_k, body, jnp.zeros((bq, d), jnp.float32))
-    dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
+    @pl.when(j == nj - 1)
+    def _finalize():
+        dq_ref[0, 0] = (dq_scr[:] * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(offset_ref, kvlen_ref, q_ref, k_ref, v_ref, do_ref,
-                    lse_ref, delta_ref, dk_ref, dv_ref, *, scale, softclamp,
-                    causal, num_special, special_seq_len,
-                    special_attend_only_itself, block_k, q_block, n_pad):
-    j_block = pl.program_id(2)
+                    lse_ref, delta_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
+                    scale, softclamp, causal, num_special, special_seq_len,
+                    special_attend_only_itself, block_k, q_block):
+    j, i = pl.program_id(2), pl.program_id(3)   # note: kv block outer, q inner
+    ni = pl.num_programs(3)
     offset = offset_ref[0]
     kv_len = kvlen_ref[0]
+    q_start = i * q_block
+    k_start = j * block_k
 
-    k_blk = k_ref[:].astype(jnp.float32)
-    v_blk = v_ref[:].astype(jnp.float32)
-    bk, d = k_blk.shape
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, (q_block, block_k), 1) + j_block * block_k
+    @pl.when(_block_relevant(q_start, q_block, k_start, block_k, kv_len,
+                             offset, causal))
+    def _update():
+        q = q_ref[0, 0]
+        k_blk = k_ref[0, 0]
+        v_blk = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, 0:1]
+        delta = delta_ref[0, 0][:, 0:1]
 
-    def body(i, carry):
-        dk, dv = carry
-        q = q_ref[pl.ds(i * q_block, q_block), :].astype(jnp.float32)
-        do = do_ref[pl.ds(i * q_block, q_block), :].astype(jnp.float32)
-        lse = lse_ref[pl.ds(i * q_block, q_block), 0:1]       # (bq, 1)
-        delta = delta_ref[pl.ds(i * q_block, q_block), 0:1]   # (bq, 1)
-        q_pos = jax.lax.broadcasted_iota(jnp.int32, (q_block, block_k), 0) + i * q_block
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (q_block, block_k), 0) + q_start
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (q_block, block_k), 1) + k_start
         mask = _mask_block(q_pos, k_pos, kv_len, offset, causal=causal,
                            num_special=num_special, special_seq_len=special_seq_len,
                            special_attend_only_itself=special_attend_only_itself)
         p, ds = _recompute_p_ds(q, k_blk, v_blk, do, lse, delta, mask,
                                 scale=scale, softclamp=softclamp)
-        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
-        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
-        return dk, dv
+        dv_scr[:] = dv_scr[:] + jnp.dot(p.astype(do.dtype).T, do,
+                                        preferred_element_type=jnp.float32)
+        dk_scr[:] = dk_scr[:] + jnp.dot(ds.astype(q.dtype).T, q,
+                                        preferred_element_type=jnp.float32)
 
-    dk, dv = jax.lax.fori_loop(
-        0, n_pad // q_block, body,
-        (jnp.zeros((bk, d), jnp.float32), jnp.zeros((bk, d), jnp.float32)))
-    dk_ref[:] = (dk * scale).astype(dk_ref.dtype)
-    dv_ref[:] = dv.astype(dv_ref.dtype)
+    @pl.when(i == ni - 1)
+    def _finalize():
+        dk_ref[0, 0] = (dk_scr[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
 @functools.partial(
@@ -345,9 +359,9 @@ def flash_attend_bwd(
     scale=None, softclamp_value=50.0, causal=False, num_special=0,
     special_seq_len=0, special_attend_only_itself=False, interpret=False,
 ):
-    """Fused flash-attention backward: dq over query blocks, dk/dv over key
-    blocks, probabilities recomputed from the saved log-sum-exp (O(N) memory
-    vs the round-1 dense remat)."""
+    """Fused flash-attention backward: dq over (q-block, kv-block), dk/dv
+    over (kv-block, q-block), probabilities recomputed from the saved
+    log-sum-exp — O(N) memory vs the round-1 dense remat."""
     B, Hq, N, D = q.shape
     H, M = k.shape[1], k.shape[2]
     groups = Hq // H
@@ -369,7 +383,7 @@ def flash_attend_bwd(
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, n_pad - N)))
     # lse comes padded from the forward already (n_pad rows); both stats are
-    # broadcast over the small lane dim for the TPU block-tiling rule
+    # broadcast over the lane dim for the TPU block-tiling rule
     lse = jnp.broadcast_to(lse[..., None], (*lse.shape, LSE_LANES))
     delta = jnp.broadcast_to(delta[..., None], (*delta.shape, LSE_LANES))
 
@@ -381,62 +395,55 @@ def flash_attend_bwd(
 
     off = jnp.asarray([offset], jnp.int32)
     kvl = jnp.asarray([kv_len], jnp.int32)
+    seq_semantics = ('parallel', 'parallel', 'parallel', 'arbitrary')
 
-    # ---- dq: grid over query blocks
-    dq_kernel = functools.partial(_bwd_dq_kernel, m_pad=m_pad, **static)
-
-    def dq_wrap(o_r, kv_r, q_r, k_r, v_r, do_r, lse_r, dl_r, dq_r):
-        dq_kernel(o_r, kv_r, q_r.at[0, 0], k_r.at[0, 0], v_r.at[0, 0],
-                  do_r.at[0, 0], lse_r.at[0, 0], dl_r.at[0, 0], dq_r.at[0, 0])
-
+    # ---- dq: grid (B, Hq, q-blocks, kv-blocks), kv innermost
     dq = pl.pallas_call(
-        dq_wrap,
+        functools.partial(_bwd_dq_kernel, **static),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, Hq, n_pad // q_block),
+            grid=(B, Hq, n_pad // q_block, m_pad // block_k),
             in_specs=[
-                pl.BlockSpec((1, 1, q_block, d_pad), lambda b, h, i, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, m_pad, d_pad), lambda b, h, i, *_: (b, h // groups, 0, 0)),
-                pl.BlockSpec((1, 1, m_pad, d_pad), lambda b, h, i, *_: (b, h // groups, 0, 0)),
-                pl.BlockSpec((1, 1, q_block, d_pad), lambda b, h, i, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, q_block, LSE_LANES), lambda b, h, i, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, q_block, LSE_LANES), lambda b, h, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, q_block, d_pad), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_k, d_pad), lambda b, h, i, j, *_: (b, h // groups, j, 0)),
+                pl.BlockSpec((1, 1, block_k, d_pad), lambda b, h, i, j, *_: (b, h // groups, j, 0)),
+                pl.BlockSpec((1, 1, q_block, d_pad), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, q_block, LSE_LANES), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, q_block, LSE_LANES), lambda b, h, i, j, *_: (b, h, i, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, q_block, d_pad), lambda b, h, i, *_: (b, h, i, 0)),
+            out_specs=pl.BlockSpec((1, 1, q_block, d_pad), lambda b, h, i, j, *_: (b, h, i, 0)),
+            scratch_shapes=[pltpu.VMEM((q_block, d_pad), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hq, n_pad, d_pad), q.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=seq_semantics),
         interpret=interpret,
     )(off, kvl, qp, kp, vp, gp, lse, delta)
 
-    # ---- dk/dv: grid over key blocks, one partial per QUERY head (GQA
-    # partials are reduced over the group below)
-    dkv_kernel = functools.partial(_bwd_dkv_kernel, n_pad=n_pad, **static)
-
-    def dkv_wrap(o_r, kv_r, q_r, k_r, v_r, do_r, lse_r, dl_r, dk_r, dv_r):
-        dkv_kernel(o_r, kv_r, q_r.at[0, 0], k_r.at[0, 0], v_r.at[0, 0],
-                   do_r.at[0, 0], lse_r.at[0, 0], dl_r.at[0, 0],
-                   dk_r.at[0, 0], dv_r.at[0, 0])
-
+    # ---- dk/dv: grid (B, Hq, kv-blocks, q-blocks), q innermost; one
+    # partial per QUERY head (GQA partials reduced over the group below)
     dk, dv = pl.pallas_call(
-        dkv_wrap,
+        functools.partial(_bwd_dkv_kernel, **static),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, Hq, m_pad // block_k),
+            grid=(B, Hq, m_pad // block_k, n_pad // q_block),
             in_specs=[
-                pl.BlockSpec((1, 1, n_pad, d_pad), lambda b, h, j, *_: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, block_k, d_pad), lambda b, h, j, *_: (b, h // groups, j, 0)),
-                pl.BlockSpec((1, 1, block_k, d_pad), lambda b, h, j, *_: (b, h // groups, j, 0)),
-                pl.BlockSpec((1, 1, n_pad, d_pad), lambda b, h, j, *_: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, n_pad, LSE_LANES), lambda b, h, j, *_: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, n_pad, LSE_LANES), lambda b, h, j, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, q_block, d_pad), lambda b, h, j, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_k, d_pad), lambda b, h, j, i, *_: (b, h // groups, j, 0)),
+                pl.BlockSpec((1, 1, block_k, d_pad), lambda b, h, j, i, *_: (b, h // groups, j, 0)),
+                pl.BlockSpec((1, 1, q_block, d_pad), lambda b, h, j, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, q_block, LSE_LANES), lambda b, h, j, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, q_block, LSE_LANES), lambda b, h, j, i, *_: (b, h, i, 0)),
             ],
             out_specs=(
-                pl.BlockSpec((1, 1, block_k, d_pad), lambda b, h, j, *_: (b, h, j, 0)),
-                pl.BlockSpec((1, 1, block_k, d_pad), lambda b, h, j, *_: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, block_k, d_pad), lambda b, h, j, i, *_: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, block_k, d_pad), lambda b, h, j, i, *_: (b, h, j, 0)),
             ),
+            scratch_shapes=[pltpu.VMEM((block_k, d_pad), jnp.float32),
+                            pltpu.VMEM((block_k, d_pad), jnp.float32)],
         ),
         out_shape=(jax.ShapeDtypeStruct((B, Hq, m_pad, d_pad), k.dtype),
                    jax.ShapeDtypeStruct((B, Hq, m_pad, d_pad), v.dtype)),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=seq_semantics),
         interpret=interpret,
     )(off, kvl, qp, kp, vp, gp, lse, delta)
 
@@ -449,7 +456,7 @@ def flash_attend_bwd(
 
 def _reference_attend(q, k, v, offset, kv_len, *, scale, softclamp_value, causal,
                       num_special, special_seq_len, special_attend_only_itself):
-    """jnp reference with identical semantics (backward path + parity)."""
+    """jnp reference with identical semantics (backward fallback + parity)."""
     N, M = q.shape[-2], k.shape[-2]
     mask = build_attend_mask(
         N, M,
