@@ -33,10 +33,10 @@ def crop_or_pad_frames(video: np.ndarray, num_frames: int, rng=None) -> tuple[np
 
 
 class VideoDataset:
-    """Glob a folder of .gif/.npy videos (reference `VideoDataset`,
+    """Glob a folder of .gif/.npy/.mp4/.avi videos (reference `VideoDataset`,
     `trainers.py:156-253`)."""
 
-    EXTENSIONS = ('*.gif', '*.npy')
+    EXTENSIONS = ('*.gif', '*.npy', '*.mp4', '*.avi')
 
     SIDECAR_SUFFIXES = ('.actions.npy', '.rewards.npy', '.terminated.npy')
 
@@ -53,7 +53,7 @@ class VideoDataset:
                 anchor = anchor.parent
             pattern = str(self.folder.relative_to(anchor))
             candidates = (p for p in anchor.glob(pattern)
-                          if p.suffix in ('.gif', '.npy'))
+                          if p.suffix in ('.gif', '.npy', '.mp4', '.avi'))
         self.paths = sorted(
             p for p in candidates
             if not any(str(p).endswith(s) for s in self.SIDECAR_SUFFIXES))
@@ -84,7 +84,7 @@ class VideoTrajectoryDataset(VideoDataset):
         video = load_video(path, image_size=self.image_size)
 
         stem = str(path)
-        for suffix in ('.video.npy', '.gif', '.npy'):
+        for suffix in ('.video.npy', '.gif', '.npy', '.mp4', '.avi'):
             if stem.endswith(suffix):
                 stem = stem[: -len(suffix)]
                 break

@@ -149,13 +149,16 @@ class RecordToReplayBufferEnvWrapper(BaseEnvWrapper):
 
 
 class RecordToFolderEnvWrapper(BaseEnvWrapper):
-    """Per-episode .npy dumps: frames + actions + rewards + terminated
-    (reference `env.py:243-277`)."""
+    """Per-episode episode dumps: frames (.npy lossless, or .mp4/.avi via
+    `video_format`) + actions + rewards + terminated sidecars (reference
+    `env.py:243-277`, which writes mp4 + npy)."""
 
-    def __init__(self, env, folder: str | Path):
+    def __init__(self, env, folder: str | Path, video_format: str = 'npy'):
         super().__init__(env)
+        assert video_format in ('npy', 'mp4', 'avi'), video_format
         self.folder = Path(folder)
         self.folder.mkdir(parents=True, exist_ok=True)
+        self.video_format = video_format
         self._episode_idx = len(list(self.folder.glob('episode_*')))
         self._frames = []
         self._actions = []
@@ -167,7 +170,13 @@ class RecordToFolderEnvWrapper(BaseEnvWrapper):
         if not self._frames:
             return
         stem = self.folder / f'episode_{self._episode_idx:05d}'
-        np.save(f'{stem}.video.npy', np.stack(self._frames, axis=1))  # (c, t, h, w)
+        video = np.stack(self._frames, axis=1)                        # (c, t, h, w)
+        if self.video_format == 'npy':
+            np.save(f'{stem}.video.npy', video)
+        else:
+            from ..data.video_io import save_video
+
+            save_video(f'{stem}.{self.video_format}', video)
         np.save(f'{stem}.actions.npy', np.asarray(self._actions))
         np.save(f'{stem}.rewards.npy', np.asarray(self._rewards, np.float32))
         np.save(f'{stem}.terminated.npy', np.asarray(self._terminated, bool))

@@ -9,7 +9,7 @@ from dreamer4_tpu.data.datasets import (VideoDataset, VideoDatasetFromReplayBuff
                                         randomly_apply_aug,
                                         sample_video_and_actions)
 from dreamer4_tpu.data.replay_buffer import ReplayBuffer
-from dreamer4_tpu.data.video_io import load_video, save_gif, video_grid
+from dreamer4_tpu.data.video_io import load_video, save_gif, save_video, video_grid
 
 
 @pytest.fixture()
@@ -28,6 +28,73 @@ def test_gif_roundtrip(tmp_path):
     assert loaded.shape == (3, 5, 8, 8)
     # gif palette quantizes heavily; just check gross correlation
     assert np.corrcoef(video.ravel(), loaded.ravel())[0, 1] > 0.7
+
+
+def _structured_video(t=5, size=16):
+    """Moving bright square — survives lossy codecs, unlike noise."""
+    video = np.zeros((3, t, size, size), np.float32)
+    color = np.array([0.9, 0.6, 0.2], np.float32)
+    for i in range(t):
+        x = (2 * i) % (size - 6)
+        video[:, i, x:x + 6, x:x + 6] = color[:, None, None]
+    return video
+
+
+@pytest.mark.parametrize('ext', ['mp4', 'avi'])
+def test_mp4_roundtrip(tmp_path, ext):
+    pytest.importorskip('cv2')
+    video = _structured_video()
+    save_video(tmp_path / f'v.{ext}', video)
+    loaded = load_video(tmp_path / f'v.{ext}')
+    assert loaded.shape == (3, 5, 16, 16)
+    # lossy codecs; check gross correlation
+    assert np.corrcoef(video.ravel(), loaded.ravel())[0, 1] > 0.7
+    resized = load_video(tmp_path / f'v.{ext}', image_size=(8, 8))
+    assert resized.shape == (3, 5, 8, 8)
+
+
+def test_mp4_video_dataset(tmp_path):
+    pytest.importorskip('cv2')
+    for i in range(2):
+        save_video(tmp_path / f'vid_{i}.mp4', _structured_video(t=4 + i))
+    ds = VideoDataset(tmp_path, num_frames=4)
+    assert len(ds) == 2
+    assert ds[0]['video'].shape == (3, 4, 16, 16)
+    # glob-pattern resolution also picks up mp4
+    ds2 = VideoDataset(tmp_path / '*.mp4', num_frames=4)
+    assert len(ds2) == 2
+
+
+def test_mp4_trajectory_dataset(tmp_path):
+    pytest.importorskip('cv2')
+    rng = np.random.default_rng(0)
+    save_video(tmp_path / 'ep0.mp4', _structured_video(t=6))
+    np.save(tmp_path / 'ep0.actions.npy', rng.integers(0, 4, size=(5,)))
+    np.save(tmp_path / 'ep0.rewards.npy', rng.random(6).astype(np.float32))
+    np.save(tmp_path / 'ep0.terminated.npy', np.zeros(6, bool))
+    ds = VideoTrajectoryDataset(tmp_path, num_frames=4)
+    item = ds[0]
+    assert item['video'].shape == (3, 4, 16, 16)
+    assert item['actions'].shape[0] == 3
+
+
+def test_record_to_folder_mp4(tmp_path):
+    pytest.importorskip('cv2')
+    from dreamer4_tpu.envs.mocks import MockEnv
+    from dreamer4_tpu.envs.wrappers import RecordToFolderEnvWrapper
+
+    env = RecordToFolderEnvWrapper(
+        MockEnv(image_size=(16, 16), terminate_prob=0.0, truncate_prob=0.0),
+        tmp_path, video_format='mp4')
+    env.reset()
+    for _ in range(4):
+        _, _, terminated, truncated, _ = env.parse_step(env.step(0))
+        if terminated or truncated:
+            break
+    env.close()
+    assert list(tmp_path.glob('episode_*.mp4')), 'no mp4 episode written'
+    ds = VideoTrajectoryDataset(tmp_path, num_frames=2)
+    assert ds[0]['video'].shape[0] == 3
 
 
 def test_video_dataset(video_folder):
