@@ -302,6 +302,7 @@ class VideoTokenizer(nn.Module):
     h_net_layer: int | None = None
     h_net_depth: int = 2
     h_net_compression_ratio: int = 4
+    h_net_dynamic: bool = False
     h_net_loss_weight: float = 1.0
     dtype: jnp.dtype | None = None
 
@@ -382,6 +383,7 @@ class VideoTokenizer(nn.Module):
             h_net_layer=self.h_net_layer,
             h_net_depth=self.h_net_depth,
             h_net_compression_ratio=self.h_net_compression_ratio,
+            h_net_dynamic=self.h_net_dynamic,
             dtype=self.dtype,
             name='encoder_transformer',
         )

@@ -61,6 +61,7 @@ class WorldModelLosses(NamedTuple):
     lapo_fdm: jax.Array
     lapo_raw_latent_fdm: jax.Array
     tem: jax.Array
+    h_net: jax.Array | float = 0.0
 
 
 class Predictions(NamedTuple):
@@ -175,6 +176,14 @@ class DynamicsWorldModel(nn.Module):
     time_attention_use_pope: bool = False
     use_time_rnn: bool = False
     mot_temporal: bool = False
+    # H-Net temporal chunking on the MAIN trunk (reference splices the
+    # hierarchical temporal transformer into the dynamics trunk the same
+    # way as the tokenizer's, `dreamer4.py:3151-3170`)
+    h_net_layer: int | None = None
+    h_net_depth: int = 2
+    h_net_compression_ratio: int = 4
+    h_net_dynamic: bool = False
+    h_net_loss_weight: float = 1.0
     # RL hyperparameters (consumed by models/rl.py)
     gae_discount_factor: float = 0.997
     gae_lambda: float = 0.95
@@ -376,8 +385,14 @@ class DynamicsWorldModel(nn.Module):
             mot_temporal=self.mot_temporal,
             dtype=self.dtype,
         )
+        # H-Net applies to the main trunk only (actor/critic heads are
+        # shallow refinement stacks; chunking them buys nothing)
         self.transformer = AxialSpaceTimeTransformer(
-            depth=self.depth, **trunk_kwargs, name='transformer')
+            depth=self.depth, h_net_layer=self.h_net_layer,
+            h_net_depth=self.h_net_depth,
+            h_net_compression_ratio=self.h_net_compression_ratio,
+            h_net_dynamic=self.h_net_dynamic,
+            **trunk_kwargs, name='transformer')
         if self.actor_depth > 0:
             self.actor_transformer = AxialSpaceTimeTransformer(
                 depth=self.actor_depth, **trunk_kwargs, name='actor_transformer')
@@ -908,6 +923,7 @@ class DynamicsWorldModel(nn.Module):
         # ================================================================
         zero = jnp.zeros(())
         is_x_space = self.pred_orig_latent
+        h_net_loss = getattr(interm, 'h_net_loss', 0.0)
 
         # pack latents (+proprio) for unified flow math
         def pack_modalities(lat, prop):
@@ -1194,6 +1210,7 @@ class DynamicsWorldModel(nn.Module):
             + lapo_fdm_loss * self.lapo_fdm_loss_weight
             + lapo_raw_fdm_loss * self.lapo_raw_latent_fdm_loss_weight
             + tem_loss * self.tem_loss_weight
+            + h_net_loss * self.h_net_loss_weight
         )
 
         if not return_intermediates:
@@ -1214,6 +1231,7 @@ class DynamicsWorldModel(nn.Module):
             lapo_fdm=lapo_fdm_loss,
             lapo_raw_latent_fdm=lapo_raw_fdm_loss,
             tem=tem_loss,
+            h_net=h_net_loss,
         )
         out = (total_loss, losses, embeds)
         if return_layer_hiddens:

@@ -185,7 +185,12 @@ class DynamicChunkingTemporalTransformer(nn.Module):
             w = e * st                                                 # (B, T)
             seg_wsum = jnp.einsum('bt,btc->bc', w, onehot)             # (B, C)
             seg_xsum = jnp.einsum('bt,btc,btd->bcd', w, onehot, x)
-            summaries = seg_xsum / jnp.maximum(seg_wsum, 1e-30)[..., None]
+            # empty slots: a plain max(wsum, eps) clamp sends 1e30-scaled
+            # cotangents through the division backward (NaN on 0*inf);
+            # `where` keeps both branches finite
+            nonempty = (seg_wsum > 0)[..., None]
+            denom = jnp.where(nonempty, seg_wsum[..., None], 1.0)
+            summaries = jnp.where(nonempty, seg_xsum / denom, 0.0)
 
             num_chunks = chunk_id[:, -1] + 1                           # (B,)
             chunk_valid = jnp.arange(C)[None, :] < num_chunks[:, None]
@@ -225,7 +230,11 @@ class DynamicChunkingTemporalTransformer(nn.Module):
         complete = (c_new > c_old) & (cache.acc_w > 0)                 # (B,)
 
         # finalize the old chunk's summary from the online-softmax state
-        finalized = cache.acc_x / jnp.maximum(cache.acc_w, 1e-30)[:, None]
+        # (guarded division as in the parallel path; unused when acc_w == 0
+        # since `complete` requires acc_w > 0)
+        has_mass = (cache.acc_w > 0)[:, None]
+        finalized = jnp.where(
+            has_mass, cache.acc_x / jnp.where(has_mass, cache.acc_w[:, None], 1.0), 0.0)
 
         # inner transformer step on the finalized summary; commits per batch
         h = finalized[:, None]                                         # (B, 1, d)

@@ -133,3 +133,29 @@ def test_self_flow():
                                jax.random.PRNGKey(3), student_layer=-1, teacher_layer=-1)
     # head transforms student, so not exactly zero, but finite and smaller scale
     assert jnp.isfinite(loss_same)
+
+
+@pytest.mark.parametrize('dynamic', [False, True])
+def test_world_model_hnet_trunk(dynamic):
+    """H-Net chunking on the dynamics trunk (reference splices the
+    hierarchical temporal transformer into any AxialSpaceTimeTransformer,
+    `dreamer4.py:3151-3170`): forward carries the ratio loss and `generate`
+    still dreams through the chunked trunk."""
+    model = make_model(depth=2, time_block_every=2, h_net_layer=1,
+                       h_net_depth=1, h_net_compression_ratio=2,
+                       h_net_dynamic=dynamic)
+    (loss, losses, embeds), variables, kwargs = init_and_loss(model)
+    assert jnp.isfinite(loss)
+    assert jnp.isfinite(jnp.asarray(losses.h_net))
+    if dynamic:
+        # the ratio loss is live only for learned boundaries
+        g = jax.grad(lambda p: model.apply(
+            {**variables, 'params': p}, shortcut_train=False,
+            rngs={'sample': jax.random.PRNGKey(3)}, **kwargs))(variables['params'])
+        bh = g['transformer']['h_net']['boundary_head']['kernel']
+        assert float(jnp.abs(bh).sum()) > 0
+
+    exp = generate(model, variables, jax.random.PRNGKey(0), time_steps=3,
+                   num_steps=2, batch_size=2)
+    assert exp.latents.shape == (2, 3, 4, 8)
+    assert bool(jnp.all(jnp.isfinite(exp.latents)))
