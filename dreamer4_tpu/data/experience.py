@@ -26,6 +26,7 @@ class Experience:
     agent_embed: jax.Array | None = None        # (b, t, d)
     rewards: jax.Array | None = None            # (b, t)
     terminals: jax.Array | None = None          # (b,) or (b, t)
+    terminal_probs: jax.Array | None = None     # (b, t) — soft continuation source
     actions: Actions | None = None
     log_probs: Actions | None = None
     old_action_unembeds: Any | None = None      # (discrete_logits_tuple, cont_params)
@@ -35,6 +36,7 @@ class Experience:
     is_truncated: jax.Array | None = None       # (b,)
     agent_index: int = struct.field(pytree_node=False, default=0)
     is_from_world_model: bool = struct.field(pytree_node=False, default=True)
+    prompt_len: int = struct.field(pytree_node=False, default=0)
     episode_return: jax.Array | None = None     # (b,)
 
     @property

@@ -52,6 +52,7 @@ def generate(
     predict_terminals: bool | None = None,
     terminal_logit_offset: float = 0.0,
     min_dream_length: int = 0,
+    hard_terminals: bool = True,
 ) -> Experience:
     """Fully traceable; wrap in jax.jit with static `model`/`time_steps`/
     `num_steps` (trainers do). Returns an `Experience` with padded buffers
@@ -115,6 +116,7 @@ def generate(
 
     terminals = jnp.zeros((b,), bool)
     lens = jnp.full((b,), T)
+    term_prob_buf = jnp.zeros((b, T))
 
     # ------------------------------------------------- prompt pass -> cache
     def apply_forward(frame_key, **kwargs):
@@ -156,7 +158,7 @@ def generate(
     def frame_body(state):
         (i, key, latents_buf, proprio_buf, rewards_buf, disc_buf, cont_buf,
          d_logprob_buf, c_logprob_buf, values_buf, agent_embed_buf,
-         policy_embed_buf, terminals, lens, cache) = state
+         policy_embed_buf, term_prob_buf, terminals, lens, cache) = state
 
         fkey = jax.random.fold_in(key, i)
         k_noise, k_pnoise, k_term, k_act, k_fwd = jax.random.split(fkey, 5)
@@ -233,23 +235,29 @@ def generate(
         pred_reward = model.reward_encoder.decode(reward_logits)
         rewards_buf = rewards_buf.at[:, i].set(jnp.where(i >= P, pred_reward, rewards_buf[:, i]))
 
-        # terminal Bernoulli off pooled denoised latents
+        # terminal prediction off pooled denoised latents
         if predict_terminals:
             # pool over views and latent tokens -> (b, d_latent)
             pooled = jnp.mean(denoised[:, 0].reshape(b, V * n, d_lat), axis=-2)
             term_logits = model.apply(variables, pooled,
                                       method=lambda m, e: m.to_state_terminal_pred(e))[..., 0]
-            # calibration for slightly-OOD dreamed latents: a logit margin
-            # (raises the bar for terminating) and a minimum dream length
-            # (the terminal head over-fires early in WM training; see
-            # STATUS round-1 findings / reference Bernoulli sampling at
-            # `dreamer4.py:6597-6616`)
-            term_logits = term_logits - terminal_logit_offset
-            is_terminal = jax.random.bernoulli(k_term, jax.nn.sigmoid(term_logits))
-            is_terminal &= (i - P) >= (min_dream_length - 1)
-            just_terminated = is_terminal & ~terminals
-            lens = jnp.where(just_terminated, i + 1, lens)
-            terminals = terminals | is_terminal
+            # raw (uncalibrated) terminal probability — recorded for soft
+            # continuation discounting in GAE (DreamerV3-style: the learner
+            # scales gamma by (1 - p_terminal) instead of trusting hard
+            # Bernoulli cuts; see rl_losses)
+            term_prob_buf = term_prob_buf.at[:, i].set(jax.nn.sigmoid(term_logits))
+            if hard_terminals:
+                # calibration for slightly-OOD dreamed latents: a logit margin
+                # (raises the bar for terminating) and a minimum dream length
+                # (the terminal head over-fires early in WM training; see
+                # STATUS round-1 findings / reference Bernoulli sampling at
+                # `dreamer4.py:6597-6616`)
+                offs_logits = term_logits - terminal_logit_offset
+                is_terminal = jax.random.bernoulli(k_term, jax.nn.sigmoid(offs_logits))
+                is_terminal &= (i - P) >= (min_dream_length - 1)
+                just_terminated = is_terminal & ~terminals
+                lens = jnp.where(just_terminated, i + 1, lens)
+                terminals = terminals | is_terminal
 
         agent_embed_buf = agent_embed_buf.at[:, i].set(one_agent_embed)
 
@@ -289,22 +297,23 @@ def generate(
 
         return (i + 1, key, latents_buf, proprio_buf, rewards_buf, disc_buf, cont_buf,
                 d_logprob_buf, c_logprob_buf, values_buf, agent_embed_buf,
-                policy_embed_buf, terminals, lens, cache)
+                policy_embed_buf, term_prob_buf, terminals, lens, cache)
 
     def frame_cond(state):
         i, *_, terminals, lens, cache = state[0], state[-3], state[-2], state[-1]
-        not_done = ~jnp.all(terminals) if predict_terminals else jnp.array(True)
+        not_done = (~jnp.all(terminals) if predict_terminals and hard_terminals
+                    else jnp.array(True))
         return (i < T) & not_done
 
     state = (jnp.asarray(P), key, latents_buf, proprio_buf, rewards_buf, disc_buf, cont_buf,
              d_logprob_buf, c_logprob_buf, values_buf, agent_embed_buf,
-             policy_embed_buf, terminals, lens, cache)
+             policy_embed_buf, term_prob_buf, terminals, lens, cache)
 
     state = jax.lax.while_loop(frame_cond, frame_body, state)
 
     (i_final, _, latents_buf, proprio_buf, rewards_buf, disc_buf, cont_buf,
      d_logprob_buf, c_logprob_buf, values_buf, agent_embed_buf,
-     policy_embed_buf, terminals, lens, cache) = state
+     policy_embed_buf, term_prob_buf, terminals, lens, cache) = state
 
     latents_buf = jnp.clip(latents_buf, -1.0, 1.0)
     if V == 1:
@@ -326,6 +335,8 @@ def generate(
         agent_embed=agent_embed_buf,
         rewards=rewards_buf,
         terminals=terminals,
+        terminal_probs=term_prob_buf if predict_terminals else None,
+        prompt_len=P,
         actions=Actions(disc_buf if na_d > 0 else None, cont_buf if na_c > 0 else None)
         if return_agent_actions and model.has_actions else None,
         log_probs=Actions(d_logprob_buf if na_d > 0 else None, c_logprob_buf if na_c > 0 else None)

@@ -91,6 +91,11 @@ def rl_losses(
     learnable_lens = lens - is_truncated.astype(lens.dtype)
     mask = lens_to_mask(learnable_lens, time)
 
+    # dream prompts carry replayed actions with zeroed values/log-probs —
+    # they anchor the rollout but must not be learned on
+    if experience.prompt_len:
+        mask = mask & (jnp.arange(time)[None] >= experience.prompt_len)
+
     # continuation masks for GAE from terminals (reference `dreamer4.py:5957-5967`)
     gae_masks = lens_to_mask(jnp.maximum(lens - 1, 0), time)
     if experience.terminals is not None:
@@ -100,9 +105,31 @@ def rl_losses(
             terminals = (jnp.arange(time)[None] == pos[:, None]) & terminals[:, None]
         gae_masks = gae_masks & ~terminals.astype(bool)
 
+    # soft continuation (DreamerV3): dreamed experience carries the terminal
+    # head's per-frame probability; scale the GAE discount by (1 - p_term)
+    # instead of trusting hard Bernoulli cuts — on constant-reward tasks
+    # (CartPole) termination is the ONLY learning signal, and a hard
+    # offset/min-length calibration either over-truncates dreams or deletes
+    # the signal entirely.
+    continuation = gae_masks.astype(jnp.float32)
+    alive = None
+    if experience.terminal_probs is not None:
+        continuation = continuation * (1.0 - jnp.clip(experience.terminal_probs, 0.0, 1.0))
+        # weight each step's loss by the probability the dream is still
+        # alive when it is reached: w_t = prod_{s<t} (1 - p_term_s)
+        shifted = jnp.concatenate(
+            [jnp.ones_like(continuation[:, :1]), continuation[:, :-1]], axis=1)
+        # prompt frames are real context — alive with certainty
+        if experience.prompt_len:
+            shifted = jnp.where(jnp.arange(time)[None] < experience.prompt_len + 1,
+                                1.0, shifted)
+        alive = jnp.cumprod(shifted, axis=1)
+
+    loss_weights = mask.astype(jnp.float32) * (alive if alive is not None else 1.0)
+
     returns = calc_gae(
         rewards, old_values,
-        masks=gae_masks.astype(jnp.float32),
+        masks=continuation,
         learn_masks=mask,
         gamma=model.gae_discount_factor,
         lam=model.gae_lambda,
@@ -113,8 +140,8 @@ def rl_losses(
     if model.keep_reward_ema_stats:
         assert return_stats is not None
         clipped = _masked_quantile_clip(returns, mask, model.reward_quantile_filter)
-        r_mean = masked_mean(clipped, mask)
-        r_var = masked_mean(jnp.square(clipped - r_mean), mask)
+        r_mean = masked_mean(clipped, loss_weights)
+        r_var = masked_mean(jnp.square(clipped - r_mean), loss_weights)
         decay = 1.0 - model.reward_ema_decay
         new_mean = return_stats.mean + decay * (r_mean - return_stats.mean)
         new_var = return_stats.var + decay * (r_var - return_stats.var)
@@ -130,7 +157,7 @@ def rl_losses(
                                 if model.normalize_advantages is not None
                                 else objective != 'pmpo')
     if normalize_advantages:
-        advantage = z_score(advantage, mask=mask, eps=eps)
+        advantage = z_score(advantage, mask=loss_weights, eps=eps)
 
     # ---- replay forward if agent embeds were not stored
     if agent_embeds is None:
@@ -186,9 +213,11 @@ def rl_losses(
         neg = (advantage < 0.0) & mask
 
         scaled = gated_lp * jnp.abs(jnp.tanh(advantage))
+        if alive is not None:
+            scaled = scaled * alive
         pos_loss = jnp.sum(jnp.where(pos, scaled, 0.0))
         neg_loss = jnp.sum(jnp.where(neg, scaled, 0.0))
-        num_adv = jnp.maximum(jnp.sum(mask), 1.0)
+        num_adv = jnp.maximum(jnp.sum(loss_weights), 1.0)
 
         alpha = model.pmpo_pos_to_neg_weight
         policy_loss = -alpha * (pos_loss - neg_loss) / num_adv
@@ -204,9 +233,9 @@ def rl_losses(
                                      method=lambda m, a, bb: m.action_embedder.kl_div(a, bb))
             kl_loss = 0.0
             if d_kl is not None:
-                kl_loss = kl_loss + masked_mean(d_kl, mask)
+                kl_loss = kl_loss + masked_mean(d_kl, loss_weights)
             if c_kl is not None:
-                kl_loss = kl_loss + masked_mean(c_kl, mask)
+                kl_loss = kl_loss + masked_mean(c_kl, loss_weights)
             policy_loss = policy_loss + kl_loss * model.pmpo_kl_div_loss_weight
 
     elif objective == 'spo':
@@ -215,7 +244,7 @@ def rl_losses(
                  - (jnp.abs(advantage) * jnp.square(ratio - 1.0)) / (2.0 * model.ppo_eps_clip))
         if use_delight_gating:
             loss = loss * delight_gate
-        policy_loss = masked_mean(loss, mask)
+        policy_loss = masked_mean(loss, loss_weights)
 
     else:  # ppo
         ratio = jnp.exp(log_probs - old_lp)
@@ -223,9 +252,9 @@ def rl_losses(
         loss = -jnp.minimum(ratio * advantage, clipped * advantage)
         if use_delight_gating:
             loss = loss * delight_gate
-        policy_loss = masked_mean(loss, mask)
+        policy_loss = masked_mean(loss, loss_weights)
 
-    entropy_loss = masked_mean(-jnp.sum(entropy, axis=-1), mask)
+    entropy_loss = masked_mean(-jnp.sum(entropy, axis=-1), loss_weights)
 
     # actor self-predictive rollout loss (reference `dreamer4.py:6225-6234`)
     actor_spr_loss = 0.0
@@ -268,15 +297,19 @@ def rl_losses(
         clipped_loss = -jnp.sum(return_bins * jnp.log(jnp.maximum(clipped_bins, 1e-20)), axis=-1)
         value_loss_t = jnp.maximum(value_loss_t, clipped_loss)
 
-    value_loss = masked_mean(value_loss_t, mask)
+    value_loss = masked_mean(value_loss_t, loss_weights)
 
     stats = dict(
         mean_return=masked_mean(returns, mask),
         mean_advantage=masked_mean(advantage, mask),
+        adv_std=jnp.sqrt(masked_mean(jnp.square(advantage - masked_mean(advantage, mask)), mask)),
         mean_value=masked_mean(values, mask),
         entropy=masked_mean(jnp.sum(entropy, axis=-1), mask),
         approx_kl=masked_mean(old_lp - log_probs, mask),
     )
+    if experience.terminal_probs is not None:
+        stats['mean_terminal_prob'] = masked_mean(experience.terminal_probs, mask)
+        stats['mean_alive'] = masked_mean(alive, mask)
 
     return RLLossOutputs(
         policy_loss=total_policy_loss,

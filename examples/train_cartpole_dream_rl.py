@@ -50,8 +50,13 @@ def main(argv=None):
                    help='16 learnable + 1 bootstrap frame (reference DreamTrainer)')
     p.add_argument('--num-denoise-steps', type=int, default=4)
     p.add_argument('--prompt-len', type=int, default=3)
-    p.add_argument('--terminal-logit-offset', type=float, default=2.0)
-    p.add_argument('--min-dream-length', type=int, default=4)
+    p.add_argument('--hard-terminals', action='store_true',
+                   help='Bernoulli-cut dreams at sampled terminals instead of '
+                        'soft continuation discounting (DreamerV3-style, the '
+                        'default: dreams run full length, GAE discount is '
+                        'scaled by 1 - p_terminal each frame)')
+    p.add_argument('--terminal-logit-offset', type=float, default=0.0)
+    p.add_argument('--min-dream-length', type=int, default=0)
     p.add_argument('--entropy-weight', type=float, default=0.01)
     p.add_argument('--replay-iters', type=int, default=20,
                    help='how many recent collection iterations stay in replay')
@@ -182,6 +187,7 @@ def main(argv=None):
         policy_lr=args.policy_lr, value_lr=args.value_lr,
         prompt_fn=prompt_fn,
         generate_kwargs=dict(
+            hard_terminals=args.hard_terminals,
             terminal_logit_offset=args.terminal_logit_offset,
             min_dream_length=args.min_dream_length,
         ))
@@ -220,20 +226,31 @@ def main(argv=None):
         # ---- 3. policy/value updates purely from dreams
         dream_lens = []
         dream_rewards = []
+        rl_stats: dict[str, list[float]] = {}
         if it >= args.warmup_iters:
             for u in range(args.dream_updates_per_iter):
                 dream, out = dream_trainer.step(
                     jax.random.fold_in(jax.random.fold_in(key, it), 1000 + u))
                 dream_lens.append(float(np.mean(np.asarray(dream.lens))))
                 dream_rewards.append(float(np.mean(np.asarray(dream.rewards))))
+                for k, v in out.stats.items():
+                    rl_stats.setdefault(k, []).append(float(v))
 
         window = returns[-args.window:]
         avg = float(np.mean(window))
+        extra = ''
+        if rl_stats:
+            extra = (f" V {np.mean(rl_stats['mean_value']):.1f}"
+                     f" adv_std {np.mean(rl_stats['adv_std']):.2f}"
+                     f" H {np.mean(rl_stats['entropy']):.2f}")
+            if 'mean_terminal_prob' in rl_stats:
+                extra += (f" p_term {np.mean(rl_stats['mean_terminal_prob']):.3f}"
+                          f" alive {np.mean(rl_stats['mean_alive']):.2f}")
         print(f'iter {it}: real return {np.mean(batch_returns):.1f} '
               f'(window avg {avg:.1f}) wm_loss {np.mean(wm_losses):.3f} '
               f'dream_len {np.mean(dream_lens) if dream_lens else 0:.1f} '
-              f'dream_r {np.mean(dream_rewards) if dream_rewards else 0:.2f} '
-              f'[{time.time() - t0:.0f}s]', flush=True)
+              f'dream_r {np.mean(dream_rewards) if dream_rewards else 0:.2f}'
+              f'{extra} [{time.time() - t0:.0f}s]', flush=True)
 
         if len(window) >= args.window and avg >= args.target_return:
             print(f'SOLVED IN IMAGINATION at iteration {it}: '

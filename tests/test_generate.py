@@ -298,3 +298,31 @@ def test_generate_continuous_actions():
                    time_steps=3, num_steps=2, batch_size=2)
     assert exp.actions.continuous.shape == (2, 3, 2)
     assert (exp.actions.continuous >= 0).all() and (exp.actions.continuous <= 1).all()  # beta native
+
+
+def test_generate_soft_terminals():
+    """hard_terminals=False: dreams run full length, terminal probabilities
+    are recorded per generated frame for soft continuation in the learner."""
+    model = make_model(predict_terminals=True)
+    variables = init_model(model)
+
+    exp = generate(model, variables, jax.random.PRNGKey(11), time_steps=5,
+                   num_steps=2, batch_size=3, hard_terminals=False)
+
+    assert np.all(np.asarray(exp.lens) == 5)
+    assert not np.any(np.asarray(exp.terminals))
+    tp = np.asarray(exp.terminal_probs)
+    assert tp.shape == (3, 5)
+    assert np.all((tp >= 0) & (tp <= 1))
+    assert np.all(tp > 0)  # every generated frame got a real sigmoid prob
+
+    # prompt frames keep prob 0 (real context is alive with certainty)
+    prompt = jnp.clip(jax.random.normal(jax.random.PRNGKey(1), (3, 2, 4, 8)), -1, 1)
+    prompt_actions = jax.random.randint(jax.random.PRNGKey(2), (3, 2, 1), 0, 4)
+    exp_p = generate(model, variables, jax.random.PRNGKey(12), time_steps=5,
+                     num_steps=2, batch_size=3, hard_terminals=False,
+                     prompt_latents=prompt, prompt_discrete_actions=prompt_actions)
+    assert exp_p.prompt_len == 2
+    tp = np.asarray(exp_p.terminal_probs)
+    assert np.all(tp[:, :2] == 0)
+    assert np.all(tp[:, 2:] > 0)

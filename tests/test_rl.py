@@ -105,3 +105,59 @@ def test_rl_continuous(model_and_experience):
                    time_steps=4, num_steps=2, batch_size=2)
     out = rl_losses(model, variables, exp, objective='pmpo')
     assert jnp.isfinite(out.policy_loss) and jnp.isfinite(out.value_loss)
+
+
+def test_soft_continuation_discounts_gae(model_and_experience):
+    """Terminal probability of 1 at frame k must cut all influence of frames
+    >k on the advantages at <=k (DreamerV3 soft continuation)."""
+    model, variables, _ = model_and_experience
+    exp = generate(model, variables, jax.random.PRNGKey(2),
+                   time_steps=6, num_steps=2, batch_size=2,
+                   hard_terminals=False)
+    b, t = exp.rewards.shape
+
+    # frame 2 certainly terminal -> frames 3+ cannot affect returns at <=2
+    probs = jnp.zeros((b, t)).at[:, 2].set(1.0)
+    exp_soft = exp.replace(terminal_probs=probs)
+
+    out1 = rl_losses(model, variables, exp_soft, objective='ppo',
+                     return_stats=ReturnStats.create())
+
+    # perturb rewards strictly after the terminal frame
+    exp_pert = exp_soft.replace(rewards=exp_soft.rewards.at[:, 4:].add(100.0))
+    out2 = rl_losses(model, variables, exp_pert, objective='ppo',
+                     return_stats=ReturnStats.create())
+
+    # policy loss is weighted by alive-prob, which is 0 after frame 2: the
+    # huge reward perturbation after the terminal cannot change it
+    np.testing.assert_allclose(float(out1.policy_loss), float(out2.policy_loss),
+                               rtol=1e-5)
+    assert jnp.isfinite(out1.value_loss)
+    assert float(out1.stats['mean_alive']) < 1.0
+
+
+def test_prompt_frames_not_learned(model_and_experience):
+    """Frames before prompt_len carry replayed actions with zeroed
+    values/log-probs — they must not contribute to the losses."""
+    model, variables, _ = model_and_experience
+    exp = generate(model, variables, jax.random.PRNGKey(4),
+                   time_steps=6, num_steps=2, batch_size=2,
+                   hard_terminals=False)
+    exp_p = exp.replace(prompt_len=2)
+
+    out1 = rl_losses(model, variables, exp_p, objective='ppo',
+                     return_stats=ReturnStats.create())
+
+    # corrupt old log-probs at prompt frames only: loss must not move
+    lp = exp_p.log_probs
+    lp2 = lp._replace(discrete=lp.discrete.at[:, :2].add(3.21))
+    out2 = rl_losses(model, variables, exp_p.replace(log_probs=lp2),
+                     objective='ppo', return_stats=ReturnStats.create())
+    np.testing.assert_allclose(float(out1.policy_loss), float(out2.policy_loss),
+                               rtol=1e-6)
+
+    # but corrupting a learnable frame does move it
+    lp3 = lp._replace(discrete=lp.discrete.at[:, 3].add(3.21))
+    out3 = rl_losses(model, variables, exp_p.replace(log_probs=lp3),
+                     objective='ppo', return_stats=ReturnStats.create())
+    assert abs(float(out1.policy_loss) - float(out3.policy_loss)) > 1e-6
