@@ -99,14 +99,14 @@ def cmd_train_video_tokenizer(argv):
     _add_tokenizer_model_args(p)
     args = p.parse_args(argv)
 
-    from .data.datasets import batch_iterator, randomly_apply_aug
+    from .data.datasets import batch_iterator, prefetch_batches, randomly_apply_aug
     from .train.logging import MetricLogger
     from .train.trainers import TokenizerTrainer
 
     dataset = _resolve_video_dataset(args.dataset, (args.image_size, args.image_size),
                                      args.seq_len, args.seed)
-    batches = batch_iterator(dataset, args.batch_size,
-                             rng=np.random.default_rng(args.seed))
+    batches = prefetch_batches(batch_iterator(dataset, args.batch_size,
+                                              rng=np.random.default_rng(args.seed)))
     model = _build_tokenizer(args)
     logger = MetricLogger(Path(args.output) / 'logs')
 
@@ -196,7 +196,7 @@ def cmd_train_dynamics(argv):
     p.add_argument('--seed', type=int, default=0)
     args = p.parse_args(argv)
 
-    from .data.datasets import batch_iterator
+    from .data.datasets import batch_iterator, prefetch_batches
     from .models.tokenizer import VideoTokenizer
     from .models.world_model import DynamicsWorldModel
     from .train.checkpoint import load_model
@@ -208,8 +208,8 @@ def cmd_train_dynamics(argv):
     dataset = _resolve_video_dataset(
         args.dataset, (tokenizer.image_height, tokenizer.image_width),
         args.seq_len, args.seed, with_trajectories=True)
-    batches = batch_iterator(dataset, args.batch_size,
-                             rng=np.random.default_rng(args.seed))
+    batches = prefetch_batches(batch_iterator(dataset, args.batch_size,
+                                              rng=np.random.default_rng(args.seed)))
     logger = MetricLogger(Path(args.output) / 'logs')
 
     model = DynamicsWorldModel(

@@ -201,6 +201,52 @@ def batch_iterator(dataset, batch_size: int, rng=None, shuffle: bool = True):
             yield collate([dataset[int(i)] for i in idxs[start:start + batch_size]])
 
 
+def prefetch_batches(batches, depth: int = 2):
+    """Pull `batches` ahead on a background thread so host-side assembly
+    (video decode, collation, augmentation in the source iterator) overlaps
+    device steps — the role of the reference's DataLoader worker processes
+    (`trainers.py:649-653`). numpy/cv2 release the GIL for the heavy copies;
+    replay-buffer streams can use the fully native
+    `data.prefetch.PrefetchSampler` instead."""
+    import queue
+    import threading
+
+    q: 'queue.Queue' = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+    done = object()
+
+    def put(item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for b in batches:
+                if not put(b):
+                    return
+            put(done)
+        except BaseException as e:  # noqa: BLE001 — surfaced to the consumer
+            put(e)
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 # ------------------------------------------------------------- augmentation
 
 def pixel_shift_aug(rng, video: np.ndarray, max_shift: int = 4) -> np.ndarray:

@@ -48,6 +48,8 @@ def generate(
     prompt_proprio: jax.Array | None = None,
     discrete_temperature: float = 1.0,
     continuous_temperature: float = 1.0,
+    forced_discrete_actions: jax.Array | None = None,   # (b, T, na_d)
+    forced_continuous_actions: jax.Array | None = None, # (b, T, na_c)
     return_agent_actions: bool | None = None,
     predict_terminals: bool | None = None,
     terminal_logit_offset: float = 0.0,
@@ -271,6 +273,17 @@ def generate(
                 discrete_temperature=discrete_temperature,
                 continuous_temperature=continuous_temperature,
                 method=lambda m, k, e, **kw: m.action_embedder.sample(k, e, **kw))
+            # action-conditioned rollout: caller-provided actions override the
+            # policy's samples (log-probs/values still evaluated at the
+            # executed action) — enables counterfactual probes and
+            # teacher-forced video prediction (extends the reference's
+            # prompt-only action conditioning, dreamer4.py:6333-6334)
+            if forced_discrete_actions is not None and na_d > 0:
+                sampled_d = jax.lax.dynamic_slice_in_dim(
+                    forced_discrete_actions, i, 1, axis=1)[:, 0]
+            if forced_continuous_actions is not None and na_c > 0:
+                sampled_c = jax.lax.dynamic_slice_in_dim(
+                    forced_continuous_actions, i, 1, axis=1)[:, 0]
             if na_d > 0:
                 disc_buf = disc_buf.at[:, i].set(sampled_d)
             if na_c > 0:

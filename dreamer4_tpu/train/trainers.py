@@ -249,16 +249,21 @@ class DreamTrainer:
     def __init__(self, model: DynamicsWorldModel, variables, *,
                  time_steps: int = 16, num_steps: int = 4, batch_size: int = 8,
                  objective: str = 'ppo', policy_lr: float = 1e-4, value_lr: float = 1e-4,
+                 update_epochs: int = 1,
                  prompt_fn=None, generate_kwargs: dict | None = None):
         """`prompt_fn(key) -> dict of prompt_* arrays` (fixed shapes) lets
         dreams start from real experience latents instead of nothing;
         `generate_kwargs` passes terminal calibration etc. through to
-        `generate` (e.g. terminal_logit_offset, min_dream_length)."""
+        `generate` (e.g. terminal_logit_offset, min_dream_length);
+        `update_epochs` reuses each (expensive) dream for several PPO
+        updates — the importance ratio/clip in the objective handles the
+        off-policy drift, and generate dominates the step cost."""
         self.model = model
         self.time_steps = time_steps
         self.num_steps = num_steps
         self.batch_size = batch_size
         self.objective = objective
+        self.update_epochs = update_epochs
         self.prompt_fn = prompt_fn
 
         params = variables['params']
@@ -292,7 +297,8 @@ class DreamTrainer:
 
     def step(self, key):
         experience = self.dream(key)
-        self.rl_state, out = self._update(self.rl_state, experience)
+        for _ in range(self.update_epochs):
+            self.rl_state, out = self._update(self.rl_state, experience)
         return experience, out
 
     def __call__(self, num_steps: int, key=None):

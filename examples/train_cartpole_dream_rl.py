@@ -58,6 +58,15 @@ def main(argv=None):
     p.add_argument('--terminal-logit-offset', type=float, default=0.0)
     p.add_argument('--min-dream-length', type=int, default=0)
     p.add_argument('--entropy-weight', type=float, default=0.01)
+    p.add_argument('--ppo-epochs', type=int, default=2,
+                   help='PPO updates per dream (generate dominates cost; the '
+                        'clip objective handles the off-policy drift)')
+    p.add_argument('--diag-every', type=int, default=25,
+                   help='every N iters, probe WM action-sensitivity: dream '
+                        'with forced constant-left/right vs alternating '
+                        'actions from one prompt and compare mean p_term — '
+                        'if these match, the WM carries no action signal and '
+                        'policy learning cannot work')
     p.add_argument('--replay-iters', type=int, default=20,
                    help='how many recent collection iterations stay in replay')
     p.add_argument('--seed', type=int, default=0)
@@ -185,6 +194,7 @@ def main(argv=None):
         batch_size=args.dream_batch,
         objective=args.objective,
         policy_lr=args.policy_lr, value_lr=args.value_lr,
+        update_epochs=args.ppo_epochs,
         prompt_fn=prompt_fn,
         generate_kwargs=dict(
             hard_terminals=args.hard_terminals,
@@ -193,6 +203,37 @@ def main(argv=None):
         ))
 
     interactor = EnvInteractor(model)
+
+    # --- WM action-sensitivity probe: same prompt + key, three forced action
+    # policies; if mean p_term does not separate, dreams carry no
+    # action->outcome signal and the policy gradient is pure noise
+    from dreamer4_tpu.models.generate import generate as wm_generate
+
+    @jax.jit
+    def _forced_dream(params, key, forced, p_lat, p_act, p_rew):
+        return wm_generate(
+            model, {'params': params, 'state': dream_trainer.state_collection},
+            key, time_steps=args.dream_timesteps, num_steps=args.num_denoise_steps,
+            batch_size=args.dream_batch,
+            prompt_latents=p_lat, prompt_discrete_actions=p_act,
+            prompt_rewards=p_rew, forced_discrete_actions=forced,
+            hard_terminals=False)
+
+    def action_sensitivity(key):
+        prompt = prompt_fn(key)
+        b, T = args.dream_batch, args.dream_timesteps
+        t_idx = np.broadcast_to(np.arange(T)[None, :, None], (b, T, 1))
+        out = {}
+        for name, acts in (('L', np.zeros((b, T, 1))), ('R', np.ones((b, T, 1))),
+                           ('alt', t_idx % 2)):
+            exp = _forced_dream(dream_trainer.rl_state.params, key,
+                                jnp.asarray(acts, jnp.int32),
+                                prompt['prompt_latents'],
+                                prompt['prompt_discrete_actions'],
+                                prompt['prompt_rewards'])
+            tp = np.asarray(exp.terminal_probs)[:, prompt_len:]
+            out[name] = float(tp.mean())
+        return out
 
     key = jax.random.PRNGKey(args.seed)
     wm_key = jax.random.PRNGKey(args.seed + 7)
@@ -239,8 +280,13 @@ def main(argv=None):
         window = returns[-args.window:]
         avg = float(np.mean(window))
         extra = ''
+        if (args.diag_every and it >= args.warmup_iters
+                and (it - args.warmup_iters) % args.diag_every == 0):
+            sens = action_sensitivity(jax.random.fold_in(key, 999_000 + it))
+            extra += (f" | diag p_term L {sens['L']:.3f} R {sens['R']:.3f}"
+                      f" alt {sens['alt']:.3f}")
         if rl_stats:
-            extra = (f" V {np.mean(rl_stats['mean_value']):.1f}"
+            extra += (f" V {np.mean(rl_stats['mean_value']):.1f}"
                      f" adv_std {np.mean(rl_stats['adv_std']):.2f}"
                      f" H {np.mean(rl_stats['entropy']):.2f}")
             if 'mean_terminal_prob' in rl_stats:
