@@ -127,6 +127,17 @@ class DynamicsWorldModel(nn.Module):
     continuous_dist_type: str = 'beta'
     continuous_target_action_range: tuple[float, float] | None = None
     multi_token_pred_len: int = 8
+    # Δ TPU-framework extension (not in the reference): additively inject the
+    # (shifted) action embedding into every spatial token of its frame group,
+    # the way flow models inject their conditioning. The reference conditions
+    # on actions only through one attendable token per frame
+    # (dreamer4.py:7088-7130), and we measured that pathway to be weak: at
+    # init a flipped action moves the same-frame flow pred by <1%, and early
+    # flow training suppresses it further (the model first learns
+    # action-averaged dynamics) — an action-blind WM makes imagination RL
+    # impossible on action-critical tasks. Off by default for reference
+    # parity.
+    add_action_embed_to_spatial: bool = False
     # heads
     policy_head_mlp_depth: int = 3
     value_head_mlp_depth: int = 3
@@ -509,7 +520,12 @@ class DynamicsWorldModel(nn.Module):
         out = self.state_to_latents_proj(state)
         return out.reshape(*state.shape[:-1], self.num_latent_tokens, self.dim_latent)
 
-    def init_cache(self, batch: int, max_time: int, dtype=jnp.float32) -> DynamicsCache:
+    def init_cache(self, batch: int, max_time: int, dtype=None) -> DynamicsCache:
+        # KV caches default to the trunk's compute dtype: a bf16 model keeps a
+        # bf16 cache (half the HBM traffic of f32 — decode is bandwidth-bound;
+        # the cached values are produced in bf16 anyway, so no extra loss)
+        if dtype is None:
+            dtype = self.dtype if self.dtype is not None else jnp.float32
         s = self.tokens_per_frame
         return DynamicsCache(
             main=self.transformer.init_cache(batch, s, max_time, dtype=dtype),
@@ -617,6 +633,13 @@ class DynamicsWorldModel(nn.Module):
             space_tokens = space_tokens + self.view_emb[None, None, :, None, :]
 
         space_tokens = space_tokens.reshape(b, t, v * s_per_view, dim)
+
+        # first-class action conditioning (see add_action_embed_to_spatial):
+        # (b, t, 1, d) action tokens broadcast-add over the frame's spatial
+        # tokens, so the denoising target depends on the action directly
+        # instead of only through attention to one maskable token
+        if self.add_action_embed_to_spatial and action_tokens is not None:
+            space_tokens = space_tokens + action_tokens
 
         # spatial pre-encoding (reference `dreamer4.py:7212-7213`)
         pre_encoded_spatial = None

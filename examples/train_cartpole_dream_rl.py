@@ -71,6 +71,18 @@ def main(argv=None):
                    help='how many recent collection iterations stay in replay')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--window', type=int, default=20)
+    p.add_argument('--no-state-pred', action='store_true',
+                   help='disable the action-conditioned next-latent '
+                        'prediction heads. These matter: the flow loss alone '
+                        'lets the WM average over actions (measured: flow '
+                        'action-sensitivity collapses 0.045->0.009 in 250 '
+                        'steps), and an action-blind WM gives dream-RL a '
+                        'pure-noise policy gradient')
+    p.add_argument('--state-pred-frac-grad', type=float, default=0.5)
+    p.add_argument('--no-action-inject', action='store_true',
+                   help='disable add_action_embed_to_spatial (measured 10x '
+                        'stronger flow action-sensitivity through early '
+                        'training when on)')
     p.add_argument('--cpu', action='store_true')
     args = p.parse_args(argv)
 
@@ -104,6 +116,10 @@ def main(argv=None):
         multi_token_pred_len=4,
         num_register_tokens=4,
         dim_state=env.dim_state,
+        add_action_embed_to_spatial=not args.no_action_inject,
+        add_state_pred_head=not args.no_state_pred,
+        agent_predicts_state=not args.no_state_pred,
+        agent_predicts_state_frac_gradient=args.state_pred_frac_grad,
         predict_terminals=True,
         policy_entropy_weight=args.entropy_weight,
         keep_reward_ema_stats=True,
@@ -223,7 +239,7 @@ def main(argv=None):
         prompt = prompt_fn(key)
         b, T = args.dream_batch, args.dream_timesteps
         t_idx = np.broadcast_to(np.arange(T)[None, :, None], (b, T, 1))
-        out = {}
+        out, exps = {}, {}
         for name, acts in (('L', np.zeros((b, T, 1))), ('R', np.ones((b, T, 1))),
                            ('alt', t_idx % 2)):
             exp = _forced_dream(dream_trainer.rl_state.params, key,
@@ -231,8 +247,17 @@ def main(argv=None):
                                 prompt['prompt_latents'],
                                 prompt['prompt_discrete_actions'],
                                 prompt['prompt_rewards'])
+            exps[name] = exp
             tp = np.asarray(exp.terminal_probs)[:, prompt_len:]
             out[name] = float(tp.mean())
+        lat_L = np.asarray(exps['L'].latents)[:, prompt_len:]
+        lat_R = np.asarray(exps['R'].latents)[:, prompt_len:]
+        # where in the chain does the action signal die? latent divergence
+        # (dreamed trajectories L vs R) vs the terminal-prob divergence
+        out['lat_div'] = float(np.abs(lat_L - lat_R).mean())
+        out['lat_scale'] = float(np.abs(lat_L).mean())
+        out['tp_last'] = (float(np.asarray(exps['L'].terminal_probs)[:, -1].mean()),
+                          float(np.asarray(exps['R'].terminal_probs)[:, -1].mean()))
         return out
 
     key = jax.random.PRNGKey(args.seed)
@@ -284,7 +309,9 @@ def main(argv=None):
                 and (it - args.warmup_iters) % args.diag_every == 0):
             sens = action_sensitivity(jax.random.fold_in(key, 999_000 + it))
             extra += (f" | diag p_term L {sens['L']:.3f} R {sens['R']:.3f}"
-                      f" alt {sens['alt']:.3f}")
+                      f" alt {sens['alt']:.3f}"
+                      f" lat_div {sens['lat_div']:.4f}/{sens['lat_scale']:.3f}"
+                      f" tp_last L {sens['tp_last'][0]:.3f} R {sens['tp_last'][1]:.3f}")
         if rl_stats:
             extra += (f" V {np.mean(rl_stats['mean_value']):.1f}"
                      f" adv_std {np.mean(rl_stats['adv_std']):.2f}"

@@ -326,3 +326,44 @@ def test_generate_soft_terminals():
     tp = np.asarray(exp_p.terminal_probs)
     assert np.all(tp[:, :2] == 0)
     assert np.all(tp[:, 2:] > 0)
+
+
+def test_generate_bf16_model_bf16_cache():
+    """a bf16-configured model rolls out with a bf16 KV cache (init_cache
+    defaults to the trunk compute dtype — halves decode HBM traffic) and
+    still produces finite, in-range latents."""
+    model = make_model(dtype=jnp.bfloat16)
+    variables = init_model(model)
+
+    cache = model.apply(variables, 2, 4, method=model.init_cache)
+    assert cache.main.kv[0].k.dtype == jnp.bfloat16
+
+    exp = generate(model, variables, jax.random.PRNGKey(3),
+                   time_steps=4, num_steps=2, batch_size=2)
+    assert np.isfinite(np.asarray(exp.latents)).all()
+    assert float(jnp.abs(exp.latents[:, 1:]).sum()) > 0
+
+
+def test_generate_forced_actions():
+    """forced_discrete_actions overrides the policy's samples (action-
+    conditioned rollout); different forced sequences diverge the dream.
+
+    Uses add_action_embed_to_spatial: with the attention-only pathway a
+    depth-1 all-time-layer toy trunk is structurally action-blind (actions
+    live in their own axial column), which is itself part of what this
+    config guards against."""
+    model = make_model(predict_terminals=False, add_action_embed_to_spatial=True)
+    variables = init_model(model)
+
+    def dream(val):
+        forced = jnp.full((2, 5, 1), val, jnp.int32)
+        return generate(model, variables, jax.random.PRNGKey(0), time_steps=5,
+                        num_steps=2, batch_size=2, forced_discrete_actions=forced)
+
+    exp0, exp1 = dream(0), dream(1)
+    assert np.all(np.asarray(exp0.actions.discrete) == 0)
+    assert np.all(np.asarray(exp1.actions.discrete) == 1)
+    # same key, different actions -> trajectories must not be identical
+    assert float(jnp.abs(exp0.latents - exp1.latents).sum()) > 0
+    # log-probs are evaluated at the executed (forced) action
+    assert np.isfinite(np.asarray(exp0.log_probs.discrete)).all()
