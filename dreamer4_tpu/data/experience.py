@@ -64,6 +64,13 @@ def _pad_to(t: jax.Array, length: int, axis: int) -> jax.Array:
     return jnp.pad(t, pads)
 
 
+def index_experience(exp: Experience, idx) -> Experience:
+    """Row-select every array leaf (all leaves are batch-first; static
+    fields pass through) — minibatch slicing for epoch-based RL updates
+    (the reference's TensorDataset minibatching, `trainers.py:1529-1539`)."""
+    return jax.tree_util.tree_map(lambda x: x[idx], exp)
+
+
 def combine_experiences(exps: list[Experience]) -> Experience:
     """Pad time dims to the max then concatenate along batch (reference
     `combine_experiences`, `dreamer4.py:248-309`)."""

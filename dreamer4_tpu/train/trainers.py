@@ -320,6 +320,7 @@ class SimTrainer:
                  objective: str = 'ppo', policy_lr: float = 1e-4, value_lr: float = 1e-4,
                  num_steps: int = 4, max_timesteps: int = 16,
                  num_rollouts_per_step: int = 1, update_epochs: int = 2,
+                 minibatch_size: int | None = None,
                  train_dynamics: bool = True, dynamics_lr: float = 3e-4,
                  dynamics_epochs: int = 1, seed: int = 0):
         from ..envs.interact import EnvInteractor
@@ -330,6 +331,7 @@ class SimTrainer:
         self.max_timesteps = max_timesteps
         self.num_rollouts_per_step = num_rollouts_per_step
         self.update_epochs = update_epochs
+        self.minibatch_size = minibatch_size
         self.tokenizer_variables = tokenizer_variables
 
         params = variables['params']
@@ -394,10 +396,24 @@ class SimTrainer:
             self.state_collection = ts.state
             self.rl_state = self.rl_state._replace(params=ts.params)
 
+        from ..data.experience import index_experience
+
+        b = experience.batch_size
+        mb = min(self.minibatch_size or b, b)
         outs = []
         for e in range(self.update_epochs):
-            self.rl_state, out = self._update(self.rl_state, experience)
-            outs.append(out)
+            if mb == b:
+                self.rl_state, out = self._update(self.rl_state, experience)
+                outs.append(out)
+                continue
+            # reference-style minibatched epochs (trainers.py:1529-1539);
+            # fixed minibatch shape keeps one compiled update program
+            perm = self.rng.permutation(b)
+            for s in range(0, b - mb + 1, mb):
+                idx = jnp.asarray(perm[s:s + mb])
+                self.rl_state, out = self._update(
+                    self.rl_state, index_experience(experience, idx))
+                outs.append(out)
         return experience, outs
 
     def __call__(self, num_steps: int, key=None):

@@ -94,3 +94,34 @@ def test_sim_trainer_online_loop():
     returns = trainer(2)
     assert len(returns) == 2
     assert all(np.isfinite(returns))
+
+def test_sim_trainer_minibatched_epochs():
+    """reference-style minibatched PPO epochs (trainers.py:1529-1539):
+    each epoch shuffles rows and updates per fixed-size minibatch."""
+    model = make_wm(dim_state=4, dim_critic_state=4)
+    variables = init_wm(model)
+    env = MockStateEnv(dim_state=4, num_actions=3, max_steps=5, batch=4)
+    trainer = SimTrainer(model, variables, env, max_timesteps=5, num_steps=2,
+                         update_epochs=2, minibatch_size=2)
+    experience, outs = trainer.step(jax.random.PRNGKey(0))
+    # 4 rows / mb 2 = 2 minibatches x 2 epochs = 4 updates
+    assert len(outs) == 4
+    assert all(np.isfinite(float(o.policy_loss)) for o in outs)
+
+
+def test_index_experience():
+    from dreamer4_tpu.data.experience import index_experience
+
+    model = make_wm(dim_state=4, dim_critic_state=4)
+    variables = init_wm(model)
+    env = MockStateEnv(dim_state=4, num_actions=3, max_steps=5, batch=4)
+    from dreamer4_tpu.envs.interact import EnvInteractor
+
+    exp = EnvInteractor(model)(variables, env, jax.random.PRNGKey(0),
+                               num_steps=2, max_timesteps=5)
+    sub = index_experience(exp, np.array([2, 0]))
+    assert sub.batch_size == 2
+    np.testing.assert_array_equal(np.asarray(sub.latents),
+                                  np.asarray(exp.latents)[[2, 0]])
+    np.testing.assert_array_equal(np.asarray(sub.lens), np.asarray(exp.lens)[[2, 0]])
+    assert sub.step_size == exp.step_size and sub.prompt_len == exp.prompt_len
