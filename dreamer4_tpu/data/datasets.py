@@ -38,7 +38,8 @@ class VideoDataset:
 
     EXTENSIONS = ('*.gif', '*.npy', '*.mp4', '*.avi')
 
-    SIDECAR_SUFFIXES = ('.actions.npy', '.rewards.npy', '.terminated.npy')
+    SIDECAR_SUFFIXES = ('.actions.npy', '.rewards.npy', '.terminated.npy',
+                        '.proprio.npy')
 
     def __init__(self, folder: str | Path, image_size: tuple[int, int] | None = None,
                  num_frames: int | None = None, seed: int = 0):
@@ -77,7 +78,7 @@ class VideoTrajectoryDataset(VideoDataset):
     """Adds sibling `<stem>.<key>.npy` arrays aligned with the video frames
     (reference `VideoTrajectoryDataset`, `trainers.py:255-340`)."""
 
-    KEYS = ('actions', 'rewards', 'terminated')
+    KEYS = ('actions', 'rewards', 'terminated', 'proprio')
 
     def __getitem__(self, idx) -> dict:
         path = self.paths[idx]
@@ -121,10 +122,11 @@ def sample_video_and_actions(item: dict, num_frames: int, rng) -> dict:
     out['video'] = video_w
     out['lens'] = take
 
-    for key in ('actions', 'rewards', 'terminated'):
+    for key in ('actions', 'rewards', 'terminated', 'proprio'):
         if key not in item:
             continue
         arr = item[key]
+        # proprio is per-frame (like rewards); actions span frame transitions
         span = take - 1 if key == 'actions' else take
         window = arr[start:start + span]
         full = num_frames - 1 if key == 'actions' else num_frames
