@@ -266,6 +266,47 @@ def main():
     except Exception as e:
         log(f'train-step bench failed: {e}')
 
+    # ---- tokenizer encode/decode throughput (the other hot model)
+    try:
+        from dreamer4_tpu.models.tokenizer import VideoTokenizer
+
+        tok = VideoTokenizer(
+            dim=512, dim_latent=32, patch_size=8, image_height=64, image_width=64,
+            num_latent_tokens=16, encoder_depth=4, decoder_depth=4,
+            time_block_every=4, decoder_flow_steps=4)
+        tb, tt = 8, 16
+        cpu = jax.devices('cpu')[0]
+        with jax.default_device(cpu):
+            video_init = jnp.zeros((2, 3, 2, 64, 64))
+            tok_vars = jax.jit(lambda: tok.init(
+                {'params': jax.random.PRNGKey(7), 'sample': jax.random.PRNGKey(8)},
+                video_init))()
+            jax.block_until_ready(tok_vars)
+        tok_vars = jax.device_put(tok_vars, jax.devices()[0])
+        video = jax.device_put(
+            jax.random.uniform(jax.random.PRNGKey(9), (tb, 3, tt, 64, 64)),
+            jax.devices()[0])
+
+        def encode(v, vid, key):
+            lat = tok.apply(v, vid, return_latents=True, rngs={'sample': key})
+            return jnp.sum(lat)
+
+        per, _ = timed_scan(encode, (tok_vars, video), 'tokenizer encode', iters=ITERS)
+        extra['tokenizer_encode_b8_T16'] = {
+            'ms': round(per * 1e3, 2), 'frames_per_s': round(tb * tt / per, 1)}
+
+        def decode(v, vid, key):
+            lat = tok.apply(v, vid, return_latents=True, rngs={'sample': key})
+            out = tok.apply(v, lat, method=tok.decode, rngs={'sample': key})
+            return jnp.sum(out)
+
+        per, _ = timed_scan(decode, (tok_vars, video), 'tokenizer encode+decode',
+                            iters=ITERS)
+        extra['tokenizer_encode_decode_b8_T16'] = {
+            'ms': round(per * 1e3, 2), 'frames_per_s': round(tb * tt / per, 1)}
+    except Exception as e:
+        log(f'tokenizer bench failed: {e}')
+
     # ---- long-sequence training step (fused flash fwd+bwd on time attention)
     try:
         long_batch = jax.device_put(
