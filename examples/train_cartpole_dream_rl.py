@@ -43,6 +43,14 @@ def main(argv=None):
     p.add_argument('--value-lr', type=float, default=3e-4)
     p.add_argument('--wm-updates-per-iter', type=int, default=8)
     p.add_argument('--dream-updates-per-iter', type=int, default=4)
+    p.add_argument('--freeze-wm-after', type=int, default=0,
+                   help='if >0, stop world-model training after this many '
+                        'iterations and multiply dream updates by '
+                        '--frozen-dream-mult: pure dream-RL against a FIXED '
+                        'world model (removes the moving-representation '
+                        'problem of heads-only RL under a trunk that keeps '
+                        'training)')
+    p.add_argument('--frozen-dream-mult', type=int, default=4)
     p.add_argument('--warmup-iters', type=int, default=5,
                    help='iterations of WM-only training before dream RL starts')
     p.add_argument('--dream-batch', type=int, default=32)
@@ -277,24 +285,29 @@ def main(argv=None):
         returns.extend(batch_returns)
 
         # ---- 2. world-model training on replayed real experience
-        wm_ts = wm_ts._replace(params=dream_trainer.rl_state.params,
-                               state=dream_trainer.state_collection)
-        wm_losses = []
-        for u in range(args.wm_updates_per_iter):
-            wm_key, sub = jax.random.split(wm_key)
-            shortcut = bool(rng.random() < model.prob_shortcut_train)
-            wm_ts, wm_loss, _ = wm_step(wm_ts, sample_wm_batch(), sub,
-                                        shortcut_train=shortcut)
-            wm_losses.append(float(wm_loss))
-        dream_trainer.rl_state = dream_trainer.rl_state._replace(params=wm_ts.params)
-        dream_trainer.state_collection = wm_ts.state
+        wm_frozen = args.freeze_wm_after > 0 and it >= args.freeze_wm_after
+        wm_losses = [float('nan')]
+        if not wm_frozen:
+            wm_ts = wm_ts._replace(params=dream_trainer.rl_state.params,
+                                   state=dream_trainer.state_collection)
+            wm_losses = []
+            for u in range(args.wm_updates_per_iter):
+                wm_key, sub = jax.random.split(wm_key)
+                shortcut = bool(rng.random() < model.prob_shortcut_train)
+                wm_ts, wm_loss, _ = wm_step(wm_ts, sample_wm_batch(), sub,
+                                            shortcut_train=shortcut)
+                wm_losses.append(float(wm_loss))
+            dream_trainer.rl_state = dream_trainer.rl_state._replace(params=wm_ts.params)
+            dream_trainer.state_collection = wm_ts.state
 
         # ---- 3. policy/value updates purely from dreams
         dream_lens = []
         dream_rewards = []
         rl_stats: dict[str, list[float]] = {}
+        dream_updates = args.dream_updates_per_iter * (
+            args.frozen_dream_mult if wm_frozen else 1)
         if it >= args.warmup_iters:
-            for u in range(args.dream_updates_per_iter):
+            for u in range(dream_updates):
                 dream, out = dream_trainer.step(
                     jax.random.fold_in(jax.random.fold_in(key, it), 1000 + u))
                 dream_lens.append(float(np.mean(np.asarray(dream.lens))))
