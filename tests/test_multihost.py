@@ -57,3 +57,37 @@ def test_two_process_training_matches_single():
     for loss_w, sum_w in outs:
         assert abs(loss_w - loss_s) < 1e-4, (loss_w, loss_s)
         assert abs(sum_w - sum_s) / max(abs(sum_s), 1.0) < 1e-5, (sum_w, sum_s)
+
+
+@pytest.mark.slow
+def test_two_process_env_fanout_rl_matches_single():
+    """Per-host actor fleet: each process runs its own EnvInteractor; the
+    host-local Experiences assemble into one global batch and a single SPMD
+    RL update must equal the single-process reference that replayed every
+    host's interaction."""
+    import os
+
+    env = {**os.environ, 'PYTHONUNBUFFERED': '1'}
+    env.pop('XLA_FLAGS', None)
+
+    single = subprocess.run(
+        [sys.executable, str(SCRIPT), '--role', 'rl-single'],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert single.returncode == 0, single.stderr[-2000:]
+    loss_s, sum_s = _parse(single.stdout)
+
+    port = _free_port()
+    workers = [
+        subprocess.Popen(
+            [sys.executable, str(SCRIPT), '--role', 'rl-worker',
+             '--process-id', str(i), '--num-processes', '2',
+             '--port', str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(2)
+    ]
+    for w in workers:
+        out, err = w.communicate(timeout=600)
+        assert w.returncode == 0, err[-2000:]
+        loss_w, sum_w = _parse(out)
+        assert abs(loss_w - loss_s) < 1e-4, (loss_w, loss_s)
+        assert abs(sum_w - sum_s) / max(abs(sum_s), 1.0) < 1e-5, (sum_w, sum_s)
