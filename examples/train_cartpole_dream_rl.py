@@ -91,6 +91,9 @@ def main(argv=None):
                    help='disable add_action_embed_to_spatial (measured 10x '
                         'stronger flow action-sensitivity through early '
                         'training when on)')
+    p.add_argument('--log-dir', type=str, default='',
+                   help='if set, write metrics.jsonl (+TB) learning curves '
+                        'via MetricLogger')
     p.add_argument('--cpu', action='store_true')
     args = p.parse_args(argv)
 
@@ -271,6 +274,10 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     wm_key = jax.random.PRNGKey(args.seed + 7)
     returns: list[float] = []
+    logger = None
+    if args.log_dir:
+        from dreamer4_tpu.train.logging import MetricLogger
+        logger = MetricLogger(args.log_dir)
     t0 = time.time()
 
     for it in range(args.max_iterations):
@@ -337,6 +344,13 @@ def main(argv=None):
               f'dream_len {np.mean(dream_lens) if dream_lens else 0:.1f} '
               f'dream_r {np.mean(dream_rewards) if dream_rewards else 0:.2f}'
               f'{extra} [{time.time() - t0:.0f}s]', flush=True)
+        if logger is not None:
+            scalars = dict(real_return=float(np.mean(batch_returns)),
+                           window_avg=avg, wm_loss=float(np.mean(wm_losses)))
+            if rl_stats:
+                scalars.update(entropy=float(np.mean(rl_stats['entropy'])),
+                               value=float(np.mean(rl_stats['mean_value'])))
+            logger.log(it, **scalars)
 
         if len(window) >= args.window and avg >= args.target_return:
             print(f'SOLVED IN IMAGINATION at iteration {it}: '
