@@ -51,6 +51,13 @@ def main(argv=None):
                         'problem of heads-only RL under a trunk that keeps '
                         'training)')
     p.add_argument('--frozen-dream-mult', type=int, default=4)
+    p.add_argument('--wm-refresh-every', type=int, default=0,
+                   help='during the frozen phase, every K iterations run a '
+                        'burst of WM updates on fresh replay (and re-sync '
+                        'the dream model) — the iterated Dyna scheme: the '
+                        'policy improves against a fixed WM, then the WM '
+                        'catches up to the states the better policy reaches')
+    p.add_argument('--wm-refresh-updates', type=int, default=32)
     p.add_argument('--warmup-iters', type=int, default=5,
                    help='iterations of WM-only training before dream RL starts')
     p.add_argument('--dream-batch', type=int, default=32)
@@ -293,6 +300,22 @@ def main(argv=None):
 
         # ---- 2. world-model training on replayed real experience
         wm_frozen = args.freeze_wm_after > 0 and it >= args.freeze_wm_after
+        if (wm_frozen and args.wm_refresh_every > 0
+                and (it - args.freeze_wm_after) % args.wm_refresh_every == 0
+                and it > args.freeze_wm_after):
+            wm_ts = wm_ts._replace(params=dream_trainer.rl_state.params,
+                                   state=dream_trainer.state_collection)
+            refresh_losses = []
+            for u in range(args.wm_refresh_updates):
+                wm_key, sub = jax.random.split(wm_key)
+                shortcut = bool(rng.random() < model.prob_shortcut_train)
+                wm_ts, wm_loss, _ = wm_step(wm_ts, sample_wm_batch(), sub,
+                                            shortcut_train=shortcut)
+                refresh_losses.append(float(wm_loss))
+            dream_trainer.rl_state = dream_trainer.rl_state._replace(params=wm_ts.params)
+            dream_trainer.state_collection = wm_ts.state
+            print(f'  [wm refresh at iter {it}: loss '
+                  f'{np.mean(refresh_losses):.3f}]', flush=True)
         wm_losses = [float('nan')]
         if not wm_frozen:
             wm_ts = wm_ts._replace(params=dream_trainer.rl_state.params,
