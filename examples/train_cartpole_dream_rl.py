@@ -101,6 +101,8 @@ def main(argv=None):
     p.add_argument('--log-dir', type=str, default='',
                    help='if set, write metrics.jsonl (+TB) learning curves '
                         'via MetricLogger')
+    p.add_argument('--save-dir', type=str, default='',
+                   help='if set, save the final WM+policy checkpoint there')
     p.add_argument('--cpu', action='store_true')
     args = p.parse_args(argv)
 
@@ -378,11 +380,23 @@ def main(argv=None):
         if len(window) >= args.window and avg >= args.target_return:
             print(f'SOLVED IN IMAGINATION at iteration {it}: '
                   f'avg real return {avg:.1f} >= {args.target_return}')
+            _maybe_save(args, model, dream_trainer)
             return 0
 
     print(f'final window avg {float(np.mean(returns[-args.window:])):.1f} '
           f'(random baseline ~22)')
+    _maybe_save(args, model, dream_trainer)
     return 1
+
+
+def _maybe_save(args, model, dream_trainer):
+    if not args.save_dir:
+        return
+    from dreamer4_tpu.train.checkpoint import save_model
+    save_model(args.save_dir, model,
+               {'params': dream_trainer.rl_state.params,
+                'state': dream_trainer.state_collection})
+    print(f'saved WM+policy checkpoint to {args.save_dir}', flush=True)
 
 
 if __name__ == '__main__':
