@@ -22,13 +22,19 @@ import numpy as np
 
 
 class MetricLogger:
-    def __init__(self, logdir: str | Path, use_tensorboard: bool = True):
+    def __init__(self, logdir: str | Path, use_tensorboard: bool = True,
+                 use_wandb: bool = False, project: str = 'dreamer4_tpu',
+                 wandb_kwargs: dict | None = None):
+        """tensorboard and wandb are alternatives like the reference's
+        Accelerate trackers (`trainers.py:456-476`); JSONL is always
+        written. `use_wandb` requires the wandb package (not present in
+        air-gapped images — degrades to a one-line warning)."""
         self.logdir = Path(logdir)
         self.logdir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.logdir / 'metrics.jsonl', 'a')
 
         self._tb = None
-        if use_tensorboard:
+        if use_tensorboard and not use_wandb:
             try:
                 from tensorboardX import SummaryWriter  # type: ignore
                 self._tb = SummaryWriter(str(self.logdir))
@@ -39,6 +45,17 @@ class MetricLogger:
                 except ImportError:
                     self._tb = None
 
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb  # type: ignore
+                self._wandb = wandb
+                wandb.init(project=project, dir=str(self.logdir),
+                           **(wandb_kwargs or {}))
+            except ImportError:
+                print('MetricLogger: wandb requested but not installed; '
+                      'falling back to JSONL only', flush=True)
+
     def log(self, step: int, **scalars):
         record = {'step': int(step), 'time': time.time()}
         for k, v in scalars.items():
@@ -48,6 +65,9 @@ class MetricLogger:
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, float(v), int(step))
+        if self._wandb is not None:
+            self._wandb.log({k: float(v) for k, v in scalars.items()},
+                            step=int(step))
 
     def log_video(self, step: int, name: str, video: np.ndarray, fps: int = 8):
         """video: (b, c, t, h, w) in [0,1] -> grid gif on disk."""
@@ -62,6 +82,8 @@ class MetricLogger:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
 
 @contextmanager
