@@ -49,11 +49,12 @@ class MetricLogger:
         if use_wandb:
             try:
                 import wandb  # type: ignore
-                self._wandb = wandb
                 wandb.init(project=project, dir=str(self.logdir),
                            **(wandb_kwargs or {}))
-            except ImportError:
-                print('MetricLogger: wandb requested but not installed; '
+                self._wandb = wandb  # only after init succeeds
+            except Exception as e:  # noqa: BLE001 — not installed / not
+                # logged in / offline: degrade, never kill the training run
+                print(f'MetricLogger: wandb unavailable ({e!r}); '
                       'falling back to JSONL only', flush=True)
 
     def log(self, step: int, **scalars):

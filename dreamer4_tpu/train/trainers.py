@@ -275,10 +275,13 @@ class DreamTrainer:
 
         gen_kwargs = dict(generate_kwargs or {})
 
+        # `state` is an explicit jit argument — a closure capture would be
+        # baked into the trace as constants and silently ignore later
+        # assignments to self.state_collection (e.g. after WM refreshes)
         @partial(jax.jit, static_argnames=('prompt_keys',))
-        def _generate(params, key, prompt_keys=(), prompt_values=()):
+        def _generate(params, state, key, prompt_keys=(), prompt_values=()):
             return generate(
-                model, {'params': params, 'state': self.state_collection}, key,
+                model, {'params': params, 'state': state}, key,
                 time_steps=time_steps, num_steps=num_steps, batch_size=batch_size,
                 **dict(zip(prompt_keys, prompt_values)), **gen_kwargs)
 
@@ -291,7 +294,7 @@ class DreamTrainer:
 
     def dream(self, key) -> Experience:
         prompt = self.prompt_fn(key) if self.prompt_fn is not None else {}
-        return self._generate(self.rl_state.params, key,
+        return self._generate(self.rl_state.params, self.state_collection, key,
                               prompt_keys=tuple(sorted(prompt)),
                               prompt_values=tuple(v for _, v in sorted(prompt.items())))
 
@@ -399,7 +402,7 @@ class SimTrainer:
         from ..data.experience import index_experience
 
         b = experience.batch_size
-        mb = min(self.minibatch_size or b, b)
+        mb = min(max(self.minibatch_size or b, 1), b)
         outs = []
         for e in range(self.update_epochs):
             if mb == b:
@@ -407,12 +410,16 @@ class SimTrainer:
                 outs.append(out)
                 continue
             # reference-style minibatched epochs (trainers.py:1529-1539);
-            # fixed minibatch shape keeps one compiled update program
+            # fixed minibatch shape keeps one compiled update program. A
+            # non-divisible tail wraps around to the front of the
+            # permutation so every row is consumed each epoch.
             perm = self.rng.permutation(b)
-            for s in range(0, b - mb + 1, mb):
-                idx = jnp.asarray(perm[s:s + mb])
+            for s in range(0, b, mb):
+                idx = perm[s:s + mb]
+                if len(idx) < mb:
+                    idx = np.concatenate([idx, perm[:mb - len(idx)]])
                 self.rl_state, out = self._update(
-                    self.rl_state, index_experience(experience, idx))
+                    self.rl_state, index_experience(experience, jnp.asarray(idx)))
                 outs.append(out)
         return experience, outs
 

@@ -209,11 +209,14 @@ def main(argv=None):
 
     def prompt_fn(key):
         item = replay[rng.integers(len(replay))]
-        T = item['latents'].shape[1]
         b = args.dream_batch
-        rows = rng.integers(0, item['latents'].shape[0], size=b)
-        # start inside the valid prefix of each episode
-        lens = np.maximum(item['lens'][rows], prompt_len + 1)
+        # only rows long enough to supply a fully-real prompt window —
+        # clamping short episodes upward would prompt from zero padding
+        ok = np.nonzero(item['lens'] >= prompt_len + 1)[0]
+        if len(ok) == 0:
+            ok = np.arange(item['latents'].shape[0])
+        rows = ok[rng.integers(0, len(ok), size=b)]
+        lens = item['lens'][rows]
         starts = (rng.random(b) * np.maximum(lens - prompt_len - 1, 1)).astype(int)
         idx_t = starts[:, None] + np.arange(prompt_len)[None]
         lat = item['latents'][rows[:, None], idx_t]
@@ -301,36 +304,31 @@ def main(argv=None):
         returns.extend(batch_returns)
 
         # ---- 2. world-model training on replayed real experience
+        def run_wm_updates(n):
+            nonlocal wm_ts, wm_key
+            wm_ts = wm_ts._replace(params=dream_trainer.rl_state.params,
+                                   state=dream_trainer.state_collection)
+            losses = []
+            for _ in range(n):
+                wm_key, sub = jax.random.split(wm_key)
+                shortcut = bool(rng.random() < model.prob_shortcut_train)
+                wm_ts, wm_loss, _ = wm_step(wm_ts, sample_wm_batch(), sub,
+                                            shortcut_train=shortcut)
+                losses.append(float(wm_loss))
+            dream_trainer.rl_state = dream_trainer.rl_state._replace(params=wm_ts.params)
+            dream_trainer.state_collection = wm_ts.state
+            return losses
+
         wm_frozen = args.freeze_wm_after > 0 and it >= args.freeze_wm_after
+        wm_losses: list[float] = []
         if (wm_frozen and args.wm_refresh_every > 0
                 and (it - args.freeze_wm_after) % args.wm_refresh_every == 0
                 and it > args.freeze_wm_after):
-            wm_ts = wm_ts._replace(params=dream_trainer.rl_state.params,
-                                   state=dream_trainer.state_collection)
-            refresh_losses = []
-            for u in range(args.wm_refresh_updates):
-                wm_key, sub = jax.random.split(wm_key)
-                shortcut = bool(rng.random() < model.prob_shortcut_train)
-                wm_ts, wm_loss, _ = wm_step(wm_ts, sample_wm_batch(), sub,
-                                            shortcut_train=shortcut)
-                refresh_losses.append(float(wm_loss))
-            dream_trainer.rl_state = dream_trainer.rl_state._replace(params=wm_ts.params)
-            dream_trainer.state_collection = wm_ts.state
+            wm_losses = run_wm_updates(args.wm_refresh_updates)
             print(f'  [wm refresh at iter {it}: loss '
-                  f'{np.mean(refresh_losses):.3f}]', flush=True)
-        wm_losses = [float('nan')]
-        if not wm_frozen:
-            wm_ts = wm_ts._replace(params=dream_trainer.rl_state.params,
-                                   state=dream_trainer.state_collection)
-            wm_losses = []
-            for u in range(args.wm_updates_per_iter):
-                wm_key, sub = jax.random.split(wm_key)
-                shortcut = bool(rng.random() < model.prob_shortcut_train)
-                wm_ts, wm_loss, _ = wm_step(wm_ts, sample_wm_batch(), sub,
-                                            shortcut_train=shortcut)
-                wm_losses.append(float(wm_loss))
-            dream_trainer.rl_state = dream_trainer.rl_state._replace(params=wm_ts.params)
-            dream_trainer.state_collection = wm_ts.state
+                  f'{np.mean(wm_losses):.3f}]', flush=True)
+        elif not wm_frozen:
+            wm_losses = run_wm_updates(args.wm_updates_per_iter)
 
         # ---- 3. policy/value updates purely from dreams
         dream_lens = []
@@ -364,14 +362,17 @@ def main(argv=None):
             if 'mean_terminal_prob' in rl_stats:
                 extra += (f" p_term {np.mean(rl_stats['mean_terminal_prob']):.3f}"
                           f" alive {np.mean(rl_stats['mean_alive']):.2f}")
+        wm_loss_str = f'{np.mean(wm_losses):.3f}' if wm_losses else 'frozen'
         print(f'iter {it}: real return {np.mean(batch_returns):.1f} '
-              f'(window avg {avg:.1f}) wm_loss {np.mean(wm_losses):.3f} '
+              f'(window avg {avg:.1f}) wm_loss {wm_loss_str} '
               f'dream_len {np.mean(dream_lens) if dream_lens else 0:.1f} '
               f'dream_r {np.mean(dream_rewards) if dream_rewards else 0:.2f}'
               f'{extra} [{time.time() - t0:.0f}s]', flush=True)
         if logger is not None:
             scalars = dict(real_return=float(np.mean(batch_returns)),
-                           window_avg=avg, wm_loss=float(np.mean(wm_losses)))
+                           window_avg=avg)
+            if wm_losses:  # omit while frozen — NaN is not valid strict JSON
+                scalars['wm_loss'] = float(np.mean(wm_losses))
             if rl_stats:
                 scalars.update(entropy=float(np.mean(rl_stats['entropy'])),
                                value=float(np.mean(rl_stats['mean_value'])))

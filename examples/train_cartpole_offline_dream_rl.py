@@ -111,7 +111,8 @@ def main(argv=None):
     expert_vars = init_variables(expert_model)
     sim = SimTrainer(expert_model, expert_vars, env, policy_lr=3e-4,
                      value_lr=3e-4, num_steps=args.num_denoise_steps,
-                     max_timesteps=args.max_timesteps, update_epochs=2)
+                     max_timesteps=args.max_timesteps, update_epochs=4,
+                     dynamics_lr=1e-4)  # the proven online-recipe settings
     key = jax.random.PRNGKey(args.seed)
     returns: list[float] = []
     for it in range(args.expert_iterations):
@@ -208,8 +209,13 @@ def main(argv=None):
     def prompt_fn(key_):
         item = replay[rng.integers(len(replay))]
         b = args.dream_batch
-        rows = rng.integers(0, item['latents'].shape[0], size=b)
-        lens = np.maximum(item['lens'][rows], args.prompt_len + 1)
+        # only rows long enough for a fully-real prompt window (see the
+        # online example's prompt_fn)
+        ok = np.nonzero(item['lens'] >= args.prompt_len + 1)[0]
+        if len(ok) == 0:
+            ok = np.arange(item['latents'].shape[0])
+        rows = ok[rng.integers(0, len(ok), size=b)]
+        lens = item['lens'][rows]
         starts = (rng.random(b) * np.maximum(lens - args.prompt_len - 1, 1)).astype(int)
         idx_t = starts[:, None] + np.arange(args.prompt_len)[None]
         return dict(

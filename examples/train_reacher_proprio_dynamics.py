@@ -169,7 +169,9 @@ def main(argv=None):
         {'params': tok_trainer.ts.params, 'state': tok_trainer.ts.state},
         v, return_latents=True, rngs={'sample': jax.random.PRNGKey(0)}))
     p_lat = tokenize(jnp.asarray(item['video'][None, :, :3], jnp.float32))
-    p_act = jnp.asarray(item['actions'][None, :2], jnp.float32)
+    # P prompt frames need P actions: actions[i] is taken FROM frame i, and
+    # the first generated frame (i=P) conditions on actions[P-1]
+    p_act = jnp.asarray(item['actions'][None, :3], jnp.float32)
     p_prop = jnp.asarray(item['proprio'][None, :3], jnp.float32)
 
     outs = {}

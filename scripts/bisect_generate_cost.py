@@ -38,14 +38,8 @@ def main():
     variables, _ = init_on_cpu(base)
 
     def model_with(**over):
-        cfg = {f: getattr(base, f) for f in (
-            'dim', 'dim_latent', 'num_latent_tokens', 'num_spatial_tokens',
-            'max_steps', 'depth', 'time_block_every', 'attn_heads',
-            'attn_dim_head', 'num_discrete_actions', 'multi_token_pred_len',
-            'num_register_tokens', 'predict_terminals', 'use_flash_attention',
-            'dtype')}
-        cfg.update(over)
-        return DynamicsWorldModel(**cfg)
+        # clone keeps every other field in lockstep with the bench config
+        return base.clone(**over)
 
     variants = [
         ('baseline T16 K4', base, dict(time_steps=16, num_steps=4)),
