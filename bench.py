@@ -206,6 +206,23 @@ def main():
         if batch == HEADLINE_BATCH:
             headline_steps_per_s = steps_per_s
 
+    # ---- shortcut-model fast path: 1 denoise step (the shortcut loss
+    # trains step-size K directly; this is the distilled decode the
+    # reference's shortcut formulation exists for)
+    try:
+        def rollout_1step(v, key):
+            exp = generate(model, v, key, time_steps=TIME_STEPS,
+                           num_steps=1, batch_size=HEADLINE_BATCH)
+            return jnp.sum(exp.latents) + jnp.sum(exp.rewards)
+
+        per, _ = timed_scan(rollout_1step, (variables,),
+                            f'generate b{HEADLINE_BATCH} 1-step', iters=ITERS)
+        extra[f'generate_batch{HEADLINE_BATCH}_T{TIME_STEPS}_1step'] = {
+            'env_steps_per_s': round(HEADLINE_BATCH * TIME_STEPS / per, 1),
+            'ms_per_rollout': round(per * 1e3, 2)}
+    except Exception as e:
+        log(f'1-step generate bench failed: {e}')
+
     # ---- training-step throughput (loss + grad + Muon update)
     try:
         ts = TrainState(params=variables['params'],
