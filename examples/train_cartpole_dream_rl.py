@@ -110,6 +110,8 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     import jax.numpy as jnp
 
