@@ -62,6 +62,8 @@ def main(argv=None):
     p.add_argument('--window', type=int, default=3,
                    help='eval rounds averaged for the success check '
                         '(each round is n_envs episodes)')
+    p.add_argument('--expert-checkpoint', type=str, default='',
+                   help='save the phase-1 expert here / reuse it on restart')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--cpu', action='store_true')
     args = p.parse_args(argv)
@@ -114,25 +116,35 @@ def main(argv=None):
 
     # ------------------------------------------------ 1. online expert
     expert_model = build_model(0.01, action_inject=False)
-    expert_vars = init_variables(expert_model)
-    sim = SimTrainer(expert_model, expert_vars, env, policy_lr=3e-4,
-                     value_lr=3e-4, num_steps=args.num_denoise_steps,
-                     max_timesteps=args.max_timesteps, update_epochs=4,
-                     dynamics_lr=1e-4)  # the proven online-recipe settings
-    key = jax.random.PRNGKey(args.seed)
-    returns: list[float] = []
-    for it in range(args.expert_iterations):
-        experience, _ = sim.step(jax.random.fold_in(key, it))
-        returns.extend(np.asarray(experience.episode_return).tolist())
-        window = returns[-20:]
-        avg = float(np.mean(window))
-        if it % 5 == 0:
-            print(f'[expert] iter {it}: avg return {avg:.1f} '
-                  f'[{time.time()-t0:.0f}s]', flush=True)
-        if len(window) >= 20 and avg >= args.expert_target:
-            print(f'[expert] reached {avg:.1f} at iter {it}', flush=True)
-            break
-    expert_variables = sim.variables
+    ckpt_dir = Path(args.expert_checkpoint) if args.expert_checkpoint else None
+    if ckpt_dir is not None and (ckpt_dir / 'config.json').exists():
+        from dreamer4_tpu.train.checkpoint import load_model
+        expert_model, expert_variables = load_model(ckpt_dir, DynamicsWorldModel)
+        print(f'[expert] loaded checkpoint from {ckpt_dir}', flush=True)
+    else:
+        expert_vars = init_variables(expert_model)
+        sim = SimTrainer(expert_model, expert_vars, env, policy_lr=3e-4,
+                         value_lr=3e-4, num_steps=args.num_denoise_steps,
+                         max_timesteps=args.max_timesteps, update_epochs=4,
+                         dynamics_lr=1e-4)  # the proven online-recipe settings
+        key = jax.random.PRNGKey(args.seed)
+        returns: list[float] = []
+        for it in range(args.expert_iterations):
+            experience, _ = sim.step(jax.random.fold_in(key, it))
+            returns.extend(np.asarray(experience.episode_return).tolist())
+            window = returns[-20:]
+            avg = float(np.mean(window))
+            if it % 5 == 0:
+                print(f'[expert] iter {it}: avg return {avg:.1f} '
+                      f'[{time.time()-t0:.0f}s]', flush=True)
+            if len(window) >= 20 and avg >= args.expert_target:
+                print(f'[expert] reached {avg:.1f} at iter {it}', flush=True)
+                break
+        expert_variables = sim.variables
+        if ckpt_dir is not None:
+            from dreamer4_tpu.train.checkpoint import save_model
+            save_model(ckpt_dir, expert_model, expert_variables)
+            print(f'[expert] saved checkpoint to {ckpt_dir}', flush=True)
 
     # ------------------------------------------------ 2. offline dataset
     # fresh model, SAME init seed: the (untrained) state_to_latents
@@ -163,12 +175,17 @@ def main(argv=None):
         widths[t_axis] = (0, pad)
         return np.pad(x, widths)
 
-    def collect(policy_vars, n_batches, tag, key0):
+    # the expert's episodes must be collected through the EXPERT MODEL's
+    # forward — running its params through the injection-enabled fresh model
+    # perturbs the trunk and degrades the policy (measured: return 46 -> 26)
+    expert_interactor = EnvInteractor(expert_model)
+
+    def collect(actor, policy_vars, n_batches, tag, key0):
         eps_returns = []
         for b in range(n_batches):
-            exp = interactor(policy_vars, env, jax.random.fold_in(key0, b),
-                             num_steps=args.num_denoise_steps,
-                             max_timesteps=args.max_timesteps)
+            exp = actor(policy_vars, env, jax.random.fold_in(key0, b),
+                        num_steps=args.num_denoise_steps,
+                        max_timesteps=args.max_timesteps)
             replay.append(dict(
                 latents=pad_t(np.asarray(exp.latents)),
                 rewards=pad_t(np.asarray(exp.rewards)),
@@ -180,10 +197,11 @@ def main(argv=None):
               f'avg return {np.mean(eps_returns):.1f} [{time.time()-t0:.0f}s]',
               flush=True)
 
-    collect(expert_variables, args.dataset_batches_expert, 'expert',
+    collect(expert_interactor, expert_variables,
+            args.dataset_batches_expert, 'expert',
             jax.random.PRNGKey(args.seed + 100))
-    collect({'params': variables['params'],
-             'state': variables.get('state', {})},
+    collect(interactor, {'params': variables['params'],
+                         'state': variables.get('state', {})},
             args.dataset_batches_random, 'random',
             jax.random.PRNGKey(args.seed + 200))
 
