@@ -64,6 +64,9 @@ def main(argv=None):
                         '(each round is n_envs episodes)')
     p.add_argument('--expert-checkpoint', type=str, default='',
                    help='save the phase-1 expert here / reuse it on restart')
+    p.add_argument('--dataset-cache', type=str, default='',
+                   help='save the collected offline dataset here (.npz) / '
+                        'reuse it on restart')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--cpu', action='store_true')
     args = p.parse_args(argv)
@@ -197,13 +200,28 @@ def main(argv=None):
               f'avg return {np.mean(eps_returns):.1f} [{time.time()-t0:.0f}s]',
               flush=True)
 
-    collect(expert_interactor, expert_variables,
-            args.dataset_batches_expert, 'expert',
-            jax.random.PRNGKey(args.seed + 100))
-    collect(interactor, {'params': variables['params'],
-                         'state': variables.get('state', {})},
-            args.dataset_batches_random, 'random',
-            jax.random.PRNGKey(args.seed + 200))
+    cache = Path(args.dataset_cache) if args.dataset_cache else None
+    if cache is not None and cache.exists():
+        blob = np.load(cache)
+        n_items = int(blob['n_items'])
+        keys = ('latents', 'rewards', 'terminals', 'discrete_actions', 'lens')
+        replay.extend({k: blob[f'{k}_{i}'] for k in keys}
+                      for i in range(n_items))
+        print(f'[dataset] loaded {n_items} batches from {cache}', flush=True)
+    else:
+        collect(expert_interactor, expert_variables,
+                args.dataset_batches_expert, 'expert',
+                jax.random.PRNGKey(args.seed + 100))
+        collect(interactor, {'params': variables['params'],
+                             'state': variables.get('state', {})},
+                args.dataset_batches_random, 'random',
+                jax.random.PRNGKey(args.seed + 200))
+        if cache is not None:
+            np.savez_compressed(
+                cache, n_items=len(replay),
+                **{f'{k}_{i}': item[k] for i, item in enumerate(replay)
+                   for k in item})
+            print(f'[dataset] cached to {cache}', flush=True)
 
     # ------------------------------------------------ 3. offline WM training
     base_tx = muon_adam_atan2(learning_rate=args.wm_lr, clip_grad_norm=1.0)
