@@ -67,6 +67,10 @@ def main(argv=None):
     p.add_argument('--dataset-cache', type=str, default='',
                    help='save the collected offline dataset here (.npz) / '
                         'reuse it on restart')
+    p.add_argument('--collect-only', action='store_true',
+                   help='run phases 1-2 (expert + dataset), write the caches, '
+                        'and exit — lets collection run on CPU while the TPU '
+                        'is busy/unavailable')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--cpu', action='store_true')
     args = p.parse_args(argv)
@@ -222,6 +226,10 @@ def main(argv=None):
                 **{f'{k}_{i}': item[k] for i, item in enumerate(replay)
                    for k in item})
             print(f'[dataset] cached to {cache}', flush=True)
+
+    if args.collect_only:
+        print('[collect-only] expert + dataset cached; exiting', flush=True)
+        return 0
 
     # ------------------------------------------------ 3. offline WM training
     base_tx = muon_adam_atan2(learning_rate=args.wm_lr, clip_grad_norm=1.0)
