@@ -23,6 +23,7 @@ import json
 from pathlib import Path
 from typing import Any, Type
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
@@ -139,7 +140,20 @@ def load_model(path: str | Path, module_class: Type, abstract_variables: Any | N
     if abstract_variables is not None:
         variables = ckptr.restore(path / 'state', abstract_variables)
     else:
-        variables = ckptr.restore(path / 'state')
+        try:
+            variables = ckptr.restore(path / 'state')
+        except ValueError:
+            # the checkpoint carries sharding metadata for devices that no
+            # longer exist (e.g. saved on TPU, restored on CPU) — restore
+            # device-agnostically as host numpy arrays instead
+            pt = ocp.PyTreeCheckpointer()
+            meta = pt.metadata(path / 'state')
+            meta_tree = getattr(meta, 'item_metadata', None) or getattr(meta, 'tree')
+            restore_args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree)
+            variables = pt.restore(
+                path / 'state', args=ocp.args.PyTreeRestore(
+                    restore_args=restore_args))
     return module, variables
 
 
