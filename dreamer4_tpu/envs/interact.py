@@ -110,7 +110,12 @@ class EnvInteractor:
                 ent = _dists.continuous_entropy(pred.state[:, -1], 'beta')
                 state_entropy = jnp.mean(ent.reshape(b, -1), axis=-1)  # (b,)
 
+            actor_src = agent_embed
             value_embed = agent_embed
+            if model.actor_critic_latent_input:
+                actor_src, value_embed = model.apply(
+                    variables, latents[:, -1],
+                    method=lambda m, l: m.latent_actor_inputs(l))
             if model.dim_critic_state is not None and critic_state is not None:
                 critic_embed = model.apply(variables, critic_state,
                                            method=lambda m, s: m.critic_state_embedder(s))
@@ -119,7 +124,7 @@ class EnvInteractor:
             value_bins = model.apply(variables, value_embed, method=lambda m, e: m.value_head(e))
             value = model.value_encoder.decode(value_bins)
 
-            policy_embed = model.apply(variables, agent_embed, method=lambda m, e: m.policy_head(e))
+            policy_embed = model.apply(variables, actor_src, method=lambda m, e: m.policy_head(e))
             k_act, _ = jax.random.split(jax.random.fold_in(key, 1))
             sampled_d, sampled_c = model.apply(
                 variables, k_act, policy_embed,

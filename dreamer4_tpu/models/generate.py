@@ -264,7 +264,13 @@ def generate(
         agent_embed_buf = agent_embed_buf.at[:, i].set(one_agent_embed)
 
         if return_agent_actions and model.has_actions:
-            policy_embed = model.apply(variables, one_agent_embed,
+            actor_src = one_agent_embed
+            critic_src = one_agent_embed
+            if model.actor_critic_latent_input:
+                actor_src, critic_src = model.apply(
+                    variables, denoised[:, 0, 0],
+                    method=lambda m, l: m.latent_actor_inputs(l))
+            policy_embed = model.apply(variables, actor_src,
                                        method=lambda m, e: m.policy_head(e))
             policy_embed_buf = policy_embed_buf.at[:, i].set(policy_embed)
 
@@ -300,7 +306,7 @@ def generate(
             if na_c > 0:
                 c_logprob_buf = c_logprob_buf.at[:, i].set(lp.continuous)
 
-            value_bins = model.apply(variables, one_agent_embed,
+            value_bins = model.apply(variables, critic_src,
                                      method=lambda m, e: m.value_head(e))
             values_buf = values_buf.at[:, i].set(model.value_encoder.decode(value_bins))
 

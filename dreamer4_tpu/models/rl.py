@@ -159,8 +159,16 @@ def rl_losses(
     if normalize_advantages:
         advantage = z_score(advantage, mask=loss_weights, eps=eps)
 
+    # ---- drift-free head inputs from latents (actor_critic_latent_input):
+    # the latents are data, so the policy/value inputs cannot shift under
+    # concurrent world-model training
+    actor_in = critic_in = None
+    if model.actor_critic_latent_input:
+        actor_in, critic_in = model.apply(
+            variables, latents, method=lambda m, l: m.latent_actor_inputs(l))
+
     # ---- replay forward if agent embeds were not stored
-    if agent_embeds is None:
+    if agent_embeds is None and not model.actor_critic_latent_input:
         _, (embeds, _) = model.apply(
             variables,
             latents=latents,
@@ -178,13 +186,16 @@ def rl_losses(
         )
         agent_embeds = embeds.agent[:, :, experience.agent_index]
 
-    if only_learn_policy_value_heads:
+    if only_learn_policy_value_heads and agent_embeds is not None:
         agent_embeds = jax.lax.stop_gradient(agent_embeds)
 
     # =================================================================
     # policy loss
     # =================================================================
-    policy_agent_embeds = frac_gradient(agent_embeds, model.agent_policy_gradient_frac)
+    if actor_in is not None:
+        policy_agent_embeds = actor_in
+    else:
+        policy_agent_embeds = frac_gradient(agent_embeds, model.agent_policy_gradient_frac)
     policy_embed = model.apply(variables, policy_agent_embeds,
                                method=lambda m, e: m.policy_head(e))
 
@@ -277,7 +288,10 @@ def rl_losses(
     # =================================================================
     # value loss (distributional CE against two-hot/HL-Gauss return bins)
     # =================================================================
-    value_agent_embeds = frac_gradient(agent_embeds, model.agent_value_gradient_frac)
+    if critic_in is not None:
+        value_agent_embeds = critic_in
+    else:
+        value_agent_embeds = frac_gradient(agent_embeds, model.agent_value_gradient_frac)
 
     if experience.critic_state is not None and model.dim_critic_state is not None:
         critic_embeds = model.apply(variables, experience.critic_state,

@@ -141,6 +141,13 @@ class DynamicsWorldModel(nn.Module):
     # heads
     policy_head_mlp_depth: int = 3
     value_head_mlp_depth: int = 3
+    # Δ TPU-framework extension: feed the policy/value heads from dedicated
+    # latent encoders (trained by RL only) instead of the trunk's agent
+    # embeds. Latents are stable data, so heads-only RL no longer chases a
+    # moving representation while the WM keeps training — measured in the
+    # round-2 dream-RL runs: every WM update/refresh shifted the agent
+    # embeds and re-randomized the policy (entropy snapped back to uniform).
+    actor_critic_latent_input: bool = False
     # state pred
     add_state_pred_head: bool = False
     agent_predicts_state: bool = False
@@ -360,6 +367,14 @@ class DynamicsWorldModel(nn.Module):
         value_bins = self.value_num_bins if self.value_num_bins is not None else self.reward_num_bins
         self.value_head = create_mlp(dim * 4, self.value_head_mlp_depth, value_bins, name='value_head')
 
+        if self.actor_critic_latent_input:
+            assert self.num_video_views == 1, \
+                'actor_critic_latent_input assumes single-view latents'
+            self.actor_latent_encoder = create_mlp(dim, 2, dim,
+                                                   name='actor_latent_encoder')
+            self.critic_latent_encoder = create_mlp(dim, 2, dim,
+                                                    name='critic_latent_encoder')
+
         if self.should_pred_state:
             self.state_pred_token = self.param('state_pred_token', nn.initializers.normal(1e-2), (dim,))
             self.state_pred_norm = RMSNorm(name='state_pred_norm')
@@ -489,6 +504,10 @@ class DynamicsWorldModel(nn.Module):
         self.policy_head(e)
         self.value_head(e)
         self.to_reward_pred(e)
+        if self.actor_critic_latent_input:
+            flat = jnp.zeros((1, self.num_latent_tokens * self.dim_latent))
+            self.actor_latent_encoder(flat)
+            self.critic_latent_encoder(flat)
         if self.predict_terminals:
             self.to_state_terminal_pred(jnp.zeros((1, self.dim_latent)))
         if self.dim_state is not None:
@@ -519,6 +538,12 @@ class DynamicsWorldModel(nn.Module):
         (reference `dreamer4.py:4855-4862`)."""
         out = self.state_to_latents_proj(state)
         return out.reshape(*state.shape[:-1], self.num_latent_tokens, self.dim_latent)
+
+    def latent_actor_inputs(self, latents):
+        """(..., n, d_latent) -> (actor_in, critic_in), each (..., dim) — the
+        drift-free policy/value inputs (see actor_critic_latent_input)."""
+        flat = latents.reshape(*latents.shape[:-2], -1)
+        return self.actor_latent_encoder(flat), self.critic_latent_encoder(flat)
 
     def init_cache(self, batch: int, max_time: int, dtype=None) -> DynamicsCache:
         # KV caches default to the trunk's compute dtype: a bf16 model keeps a
@@ -1120,7 +1145,12 @@ class DynamicsWorldModel(nn.Module):
             pred_len = first.shape[1]
             num_targets = pred_len - 1 if shift_action_tokens else pred_len
 
-            actor_tokens = embeds.actor[:, :, 0]  # (b, t, d)
+            if self.actor_critic_latent_input:
+                # BC trains the policy head on the same input distribution
+                # RL uses: the latent-encoder path, on clean latents
+                actor_tokens, _ = self.latent_actor_inputs(latents0)
+            else:
+                actor_tokens = embeds.actor[:, :, 0]  # (b, t, d)
             policy_embed = self.policy_head(actor_tokens[:, :num_targets])
 
             def make_mtp(actions):

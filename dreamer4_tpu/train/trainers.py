@@ -193,9 +193,9 @@ def rl_param_labels(params, model: DynamicsWorldModel) -> Any:
     `dreamer4.py:5343-5363`)."""
     def label(path, x):
         top = path[0].key if hasattr(path[0], 'key') else str(path[0])
-        if top == 'policy_head':
+        if top in ('policy_head', 'actor_latent_encoder'):
             return 'policy'
-        if top == 'value_head':
+        if top in ('value_head', 'critic_latent_encoder'):
             return 'value'
         if top == 'action_embedder':
             name = path[1].key if len(path) > 1 and hasattr(path[1], 'key') else ''

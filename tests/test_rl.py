@@ -161,3 +161,60 @@ def test_prompt_frames_not_learned(model_and_experience):
     out3 = rl_losses(model, variables, exp_p.replace(log_probs=lp3),
                      objective='ppo', return_stats=ReturnStats.create())
     assert abs(float(out1.policy_loss) - float(out3.policy_loss)) > 1e-6
+
+
+def test_actor_critic_latent_input_path():
+    """Drift-free head inputs: policy/value read latents through RL-owned
+    encoders (actor_critic_latent_input). The full loop — generate ->
+    rl_losses grads -> interactor — must run, gradients must reach the
+    latent encoders + heads and NOTHING else, and dreams must carry
+    finite log-probs/values."""
+    import numpy as np
+
+    from dreamer4_tpu.envs.interact import EnvInteractor
+    from dreamer4_tpu.envs.mocks import MockStateEnv
+    from dreamer4_tpu.models.generate import generate
+    from dreamer4_tpu.train.trainers import rl_param_labels
+
+    model = DynamicsWorldModel(
+        dim=16, dim_latent=8, num_latent_tokens=4, max_steps=8, depth=1,
+        time_block_every=1, num_spatial_tokens=4, num_discrete_actions=(3,),
+        attn_dim_head=8, attn_heads=2, multi_token_pred_len=2,
+        num_register_tokens=2, dim_state=4, predict_terminals=True,
+        actor_critic_latent_input=True, use_loss_normalization=False)
+    latents = jnp.zeros((2, 3, 4, 8))
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0), 'sample': jax.random.PRNGKey(1)},
+        latents=latents, shortcut_train=False, rewards=jnp.zeros((2, 3)),
+        terminals=jnp.zeros((2,), bool),
+        discrete_actions=jnp.zeros((2, 2, 1), jnp.int32))
+    assert 'actor_latent_encoder' in variables['params']
+
+    labels = rl_param_labels(variables['params'], model)
+    assert labels['actor_latent_encoder'] is not None
+
+    exp = generate(model, variables, jax.random.PRNGKey(2), time_steps=5,
+                   num_steps=2, batch_size=2, hard_terminals=False)
+    assert np.isfinite(np.asarray(exp.values)).all()
+    assert np.isfinite(np.asarray(exp.log_probs.discrete)).all()
+
+    def loss_fn(params):
+        out = rl_losses(model, {'params': params}, exp, objective='ppo')
+        return out.policy_loss + out.value_loss
+
+    grads = jax.grad(loss_fn)(variables['params'])
+
+    def gnorm(tree):
+        return float(sum(jnp.sum(jnp.abs(g)) for g in jax.tree_util.tree_leaves(tree)))
+
+    assert gnorm(grads['actor_latent_encoder']) > 0
+    assert gnorm(grads['critic_latent_encoder']) > 0
+    assert gnorm(grads['policy_head']) > 0
+    assert gnorm(grads['value_head']) > 0
+    # the trunk gets nothing: the latent inputs fully decouple the heads
+    assert gnorm(grads['transformer']) == 0
+
+    env = MockStateEnv(dim_state=4, num_actions=3, batch=2, max_steps=4)
+    roll = EnvInteractor(model)(variables, env, jax.random.PRNGKey(3),
+                                num_steps=2, max_timesteps=4)
+    assert np.isfinite(np.asarray(roll.values)).all()
