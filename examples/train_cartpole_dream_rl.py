@@ -98,6 +98,12 @@ def main(argv=None):
                    help='disable add_action_embed_to_spatial (measured 10x '
                         'stronger flow action-sensitivity through early '
                         'training when on)')
+    p.add_argument('--latent-actor', action='store_true',
+                   help='actor_critic_latent_input: policy/value read the '
+                        '(stable) latents through RL-owned encoders instead '
+                        'of the trunk agent embeds — immune to the '
+                        'representation drift that reset the policy every '
+                        'time the WM trained (runs v3/v5)')
     p.add_argument('--log-dir', type=str, default='',
                    help='if set, write metrics.jsonl (+TB) learning curves '
                         'via MetricLogger')
@@ -138,6 +144,7 @@ def main(argv=None):
         multi_token_pred_len=4,
         num_register_tokens=4,
         dim_state=env.dim_state,
+        actor_critic_latent_input=args.latent_actor,
         add_action_embed_to_spatial=not args.no_action_inject,
         add_state_pred_head=not args.no_state_pred,
         agent_predicts_state=not args.no_state_pred,
