@@ -27,21 +27,106 @@ reference's imagined env-steps/s on an A100 for a comparable config
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
+# ---------------------------------------------------------------------------
+# Backend survival (round-2 lesson: one transient TPU outage must not cost the
+# round its perf record).  The TPU backend on this runtime can HANG inside
+# jax.devices() rather than raise, and a failed axon plugin init poisons
+# backends() for the whole process (even jax.devices('cpu') then crashes).
+# Strategy:
+#   1. BEFORE importing jax in earnest, probe the TPU in a SUBPROCESS with a
+#      timeout, retrying with backoff for up to BENCH_TPU_WAIT_S seconds.
+#   2. If the probe never succeeds (or the in-process run later dies on a
+#      backend error), re-exec this script with BENCH_FORCE_CPU=1 — a clean
+#      process pinned to the CPU backend — and emit a clearly-labeled
+#      degraded smoke number instead of rc=1.
+#   3. The final JSON line is printed on EVERY path.
+# ---------------------------------------------------------------------------
+
+FORCE_CPU = os.environ.get('BENCH_FORCE_CPU', '') == '1'
+TPU_WAIT_S = float(os.environ.get('BENCH_TPU_WAIT_S', '1200'))
+PROBE_TIMEOUT_S = float(os.environ.get('BENCH_TPU_PROBE_TIMEOUT_S', '600'))
+
+
+def _log(msg):
+    print(f'# {msg}', file=sys.stderr, flush=True)
+
+
+def _probe_tpu_subprocess():
+    """One subprocess attempt at initializing the TPU backend. Returns True
+    if jax.devices() completed there (backend is live and compilable)."""
+    code = 'import jax; d = jax.devices(); print("OK", len(d), d[0].platform)'
+    try:
+        r = subprocess.run([sys.executable, '-c', code], capture_output=True,
+                           text=True, timeout=PROBE_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        _log(f'TPU probe timed out after {PROBE_TIMEOUT_S:.0f}s')
+        return False
+    if r.returncode == 0 and 'OK' in r.stdout:
+        _log(f'TPU probe ok: {r.stdout.strip()}')
+        return True
+    _log(f'TPU probe failed rc={r.returncode}: {(r.stderr or "").strip()[-200:]}')
+    return False
+
+
+def _wait_for_tpu():
+    """Retry the subprocess probe with backoff for up to TPU_WAIT_S."""
+    deadline = time.time() + TPU_WAIT_S
+    delay, attempt = 30.0, 0
+    while True:
+        attempt += 1
+        if _probe_tpu_subprocess():
+            return True
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            _log(f'TPU unavailable after {attempt} probes / {TPU_WAIT_S:.0f}s budget')
+            return False
+        sleep_s = min(delay, remaining)
+        _log(f'retrying TPU probe in {sleep_s:.0f}s (attempt {attempt})')
+        time.sleep(sleep_s)
+        delay = min(delay * 2, 240.0)
+
+
+DEGRADED = None
+if FORCE_CPU:
+    DEGRADED = 'tpu_backend_unavailable_cpu_smoke'
+elif not _wait_for_tpu():
+    os.environ['BENCH_FORCE_CPU'] = '1'
+    _log('re-exec into CPU smoke mode')
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 import jax
+
+if FORCE_CPU:
+    # sitecustomize already consumed JAX_PLATFORMS; the config knob is the
+    # only switch that still works at this point.
+    jax.config.update('jax_platforms', 'cpu')
+
 import jax.numpy as jnp
 
 REFERENCE_A100_ENV_STEPS_PER_S = 400.0
 V5E_BF16_PEAK_FLOPS = 197e12
 
-TIME_STEPS, NUM_STEPS = 16, 4
-HEADLINE_BATCH = 16
-SWEEP_BATCHES = (16, 256)
-TRAIN_BATCH, TRAIN_T = 8, 32
-LONGSEQ_BATCH, LONGSEQ_T = 1, 1024
-ITERS = 10
+if FORCE_CPU:
+    # Degraded smoke config: prove the pipeline end-to-end on the host CPU
+    # and emit a labeled number; not comparable to the TPU headline.
+    TIME_STEPS, NUM_STEPS = 4, 2
+    HEADLINE_BATCH = 2
+    SWEEP_BATCHES = (2,)
+    TRAIN_BATCH, TRAIN_T = 2, 8
+    LONGSEQ_BATCH, LONGSEQ_T = 1, 64
+    ITERS = 2
+else:
+    TIME_STEPS, NUM_STEPS = 16, 4
+    HEADLINE_BATCH = 16
+    SWEEP_BATCHES = (16, 256)
+    TRAIN_BATCH, TRAIN_T = 8, 32
+    LONGSEQ_BATCH, LONGSEQ_T = 1, 1024
+    ITERS = 10
 
 
 def log(msg):
@@ -65,8 +150,8 @@ def build_model():
         multi_token_pred_len=8,
         num_register_tokens=8,
         predict_terminals=False,
-        use_flash_attention=True,
-        dtype=jnp.bfloat16,
+        use_flash_attention=not FORCE_CPU,
+        dtype=jnp.float32 if FORCE_CPU else jnp.bfloat16,
     )
 
 
@@ -162,7 +247,8 @@ def timed_scan(fn, args, label, iters=ITERS, want_flops=False):
 
 
 def main():
-    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
+    jax.config.update('jax_compilation_cache_dir',
+                      '/tmp/jax_cache' if FORCE_CPU else '/tmp/jax_cache_tpu')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     from dreamer4_tpu.models.generate import generate
@@ -291,7 +377,7 @@ def main():
             dim=512, dim_latent=32, patch_size=8, image_height=64, image_width=64,
             num_latent_tokens=16, encoder_depth=4, decoder_depth=4,
             time_block_every=4, decoder_flow_steps=4)
-        tb, tt = 8, 16
+        tb, tt = (2, 4) if FORCE_CPU else (8, 16)
         cpu = jax.devices('cpu')[0]
         with jax.default_device(cpu):
             video_init = jnp.zeros((2, 3, 2, 64, 64))
@@ -309,7 +395,7 @@ def main():
             return jnp.sum(lat)
 
         per, _ = timed_scan(encode, (tok_vars, video), 'tokenizer encode', iters=ITERS)
-        extra['tokenizer_encode_b8_T16'] = {
+        extra[f'tokenizer_encode_b{tb}_T{tt}'] = {
             'ms': round(per * 1e3, 2), 'frames_per_s': round(tb * tt / per, 1)}
 
         def decode(v, vid, key):
@@ -319,7 +405,7 @@ def main():
 
         per, _ = timed_scan(decode, (tok_vars, video), 'tokenizer encode+decode',
                             iters=ITERS)
-        extra['tokenizer_encode_decode_b8_T16'] = {
+        extra[f'tokenizer_encode_decode_b{tb}_T{tt}'] = {
             'ms': round(per * 1e3, 2), 'frames_per_s': round(tb * tt / per, 1)}
     except Exception as e:
         log(f'tokenizer bench failed: {e}')
@@ -340,15 +426,32 @@ def main():
     except Exception as e:
         log(f'long-seq bench failed: {e}')
 
-    print(json.dumps({
+    out = {
         'metric': 'imagined_env_steps_per_s_per_chip',
         'value': round(headline_steps_per_s, 2) if headline_steps_per_s else None,
         'unit': 'env_steps/s',
         'vs_baseline': (round(headline_steps_per_s / REFERENCE_A100_ENV_STEPS_PER_S, 2)
-                        if headline_steps_per_s else None),
+                        if headline_steps_per_s and not FORCE_CPU else None),
         'extra': extra,
-    }))
+    }
+    if DEGRADED:
+        out['degraded'] = DEGRADED
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':
-    main()
+    try:
+        main()
+    except Exception as e:  # never exit nonzero without the JSON line
+        _log(f'bench main failed: {type(e).__name__}: {e}')
+        if not FORCE_CPU:
+            # Backend died mid-run (plugin state is poisoned in-process):
+            # restart as a clean CPU-smoke process.
+            os.environ['BENCH_FORCE_CPU'] = '1'
+            _log('re-exec into CPU smoke mode after in-process failure')
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        print(json.dumps({
+            'metric': 'imagined_env_steps_per_s_per_chip',
+            'value': None, 'unit': 'env_steps/s', 'vs_baseline': None,
+            'degraded': f'bench_failed: {type(e).__name__}: {e}',
+        }))
