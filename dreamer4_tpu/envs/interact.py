@@ -73,9 +73,9 @@ class EnvInteractor:
                                        mask_patches=False, cache=cache, return_cache=True)
             self._tokenize_step = tokenize_step
 
-        @partial(jax.jit, static_argnames=('first', 'num_steps'))
+        @partial(jax.jit, static_argnames=('first', 'num_steps', 'agent_index'))
         def policy_step(variables, latents, prev_disc, prev_cont, prev_reward,
-                        critic_state, cache, key, first, num_steps):
+                        critic_state, cache, key, first, num_steps, agent_index=0):
             b = latents.shape[0]
             step_size = model.max_steps // num_steps
             valid = jnp.zeros((b, 1)) if first else jnp.ones((b, 1))
@@ -99,9 +99,10 @@ class EnvInteractor:
                 cache=cache,
                 latent_is_noised=True, is_training=False,
                 return_pred_only=True, return_intermediates=True,
+                agent_index=agent_index,
                 **kwargs)
 
-            agent_embed = embeds.agent[:, -1, 0]       # (b, d)
+            agent_embed = embeds.agent[:, -1, agent_index]  # (b, d)
 
             # state-entropy exploration bonus (reference `dreamer4.py:5735-5740`)
             state_entropy = None
@@ -249,7 +250,8 @@ class EnvInteractor:
 
             out = self._policy_step(variables, latents, prev_disc, prev_cont, prev_reward,
                                     critic_state, cache, k_step,
-                                    first=(step_idx == 0), num_steps=num_steps)
+                                    first=(step_idx == 0), num_steps=num_steps,
+                                    agent_index=agent_index)
             cache = out['cache']
 
             values_buf[:, step_idx] = np.asarray(out['value'])[:, 0] if np.asarray(out['value']).ndim > 1 else np.asarray(out['value'])
@@ -318,7 +320,8 @@ class EnvInteractor:
                             if 'state' in obs and model.dim_critic_state is not None else None)
             out = self._policy_step(variables, latents, prev_disc, prev_cont, prev_reward,
                                     critic_state, cache, k_boot,
-                                    first=False, num_steps=num_steps)
+                                    first=False, num_steps=num_steps,
+                                    agent_index=agent_index)
             latents_buf[:, step_idx] = np.asarray(latents[:, 0])
             values_buf[:, step_idx] = np.asarray(out['value']).reshape(b)
             agent_embed_buf[:, step_idx] = np.asarray(out['agent_embed'])

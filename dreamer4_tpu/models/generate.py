@@ -125,6 +125,7 @@ def generate(
         return model.apply(variables, rngs={'sample': frame_key},
                            latent_is_noised=True, is_training=False,
                            return_pred_only=True, latent_has_view_dim=True,
+                           agent_index=agent_index,
                            **kwargs)
 
     cache = model.apply(variables, b, T, method=model.init_cache)
@@ -153,7 +154,7 @@ def generate(
         _, (_, cache) = model.apply(
             variables, rngs={'sample': k_prompt}, latent_is_noised=True, is_training=False,
             return_pred_only=True, return_intermediates=True, max_time=T,
-            latent_has_view_dim=True,
+            latent_has_view_dim=True, agent_index=agent_index,
             tasks=tasks, latent_gene_ids=latent_gene_ids, **prompt_kwargs)
 
     # ------------------------------------------------------ frame loop body
@@ -219,7 +220,7 @@ def generate(
         _, (embeds, new_cache) = model.apply(
             variables, rngs={'sample': jax.random.fold_in(k_fwd, num_steps)},
             latent_is_noised=True, is_training=False, latent_has_view_dim=True,
-            return_pred_only=True, return_intermediates=True,
+            return_pred_only=True, return_intermediates=True, agent_index=agent_index,
             latents=denoised,
             proprio=denoised_proprio,
             signal_levels=jnp.full((b, 1), K - 1, jnp.int32),

@@ -60,13 +60,41 @@ def rl_losses(
     use_delight_gating: bool | None = None,
     delight_temperature: float | None = None,
     normalize_advantages: bool | None = None,
+    encode_video_fn: Any = None,
+    encoder_params: Any = None,
+    soft_continuation: bool = True,
     eps: float = 1e-6,
 ) -> RLLossOutputs:
+    """Policy/value losses from an Experience.
+
+    `encode_video_fn` covers the reference's RL-trained image-encoder path
+    (`dreamer4.py:5914-5921, 5335-5374`): when `experience.latents` is None,
+    latents are computed inside the loss as `encode_video_fn(encoder_params,
+    experience.video)` (or `encode_video_fn(experience.video)` when
+    `encoder_params is None`), so differentiating the loss w.r.t.
+    `encoder_params` trains the encoder (tokenizer and/or aux image encoder —
+    the callable decides what to run and concatenates extra latent tokens).
+
+    `soft_continuation=False` disables the (1 - p_term) scaling of the GAE
+    discount and the alive loss weights, leaving the sampled hard-terminal
+    cuts as the only termination mechanism — with `generate`'s default
+    `hard_terminals=True` both mechanisms are active, which double-discounts
+    branches that did not terminate (returns biased low). The default keeps
+    both on: it is the configuration the committed CartPole dream-RL results
+    were trained with (constant-reward tasks NEED the soft signal).
+    """
     assert objective in ('ppo', 'pmpo', 'spo')
     use_delight_gating = use_delight_gating if use_delight_gating is not None else model.use_delight_gating
     delight_temperature = delight_temperature if delight_temperature is not None else model.delight_temperature
 
     latents = experience.latents
+    if latents is None:
+        assert encode_video_fn is not None and experience.video is not None, \
+            'experience without latents needs video + encode_video_fn (image-encoder RL path)'
+        latents = (encode_video_fn(experience.video) if encoder_params is None
+                   else encode_video_fn(encoder_params, experience.video))
+        if only_learn_policy_value_heads:
+            latents = jax.lax.stop_gradient(latents)
     b, time = latents.shape[:2]
 
     rewards = experience.rewards
@@ -113,7 +141,7 @@ def rl_losses(
     # the signal entirely.
     continuation = gae_masks.astype(jnp.float32)
     alive = None
-    if experience.terminal_probs is not None:
+    if experience.terminal_probs is not None and soft_continuation:
         continuation = continuation * (1.0 - jnp.clip(experience.terminal_probs, 0.0, 1.0))
         # weight each step's loss by the probability the dream is still
         # alive when it is reached: w_t = prod_{s<t} (1 - p_term_s)
@@ -167,8 +195,12 @@ def rl_losses(
         actor_in, critic_in = model.apply(
             variables, latents, method=lambda m, l: m.latent_actor_inputs(l))
 
-    # ---- replay forward if agent embeds were not stored
-    if agent_embeds is None and not model.actor_critic_latent_input:
+    # ---- replay the trunk forward when embeds were not stored, OR when
+    # fine-tuning the full model (stored embeds carry no gradient path to the
+    # trunk params — the reference re-forwards in exactly this condition,
+    # `dreamer4.py:6048-6070`)
+    need_replay = (not only_learn_policy_value_heads) or agent_embeds is None
+    if need_replay and not model.actor_critic_latent_input:
         _, (embeds, _) = model.apply(
             variables,
             latents=latents,
@@ -178,6 +210,7 @@ def rl_losses(
             discrete_actions=actions.discrete,
             continuous_actions=actions.continuous,
             proprio=experience.proprio,
+            agent_index=experience.agent_index,
             latent_is_noised=True,
             is_training=False,
             return_pred_only=True,
@@ -323,6 +356,7 @@ def rl_losses(
     )
     if experience.terminal_probs is not None:
         stats['mean_terminal_prob'] = masked_mean(experience.terminal_probs, mask)
+    if alive is not None:
         stats['mean_alive'] = masked_mean(alive, mask)
 
     return RLLossOutputs(

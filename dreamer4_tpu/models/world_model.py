@@ -565,7 +565,8 @@ class DynamicsWorldModel(nn.Module):
                     if self.action_pre_encoder_depth > 0 else None),
         )
 
-    def _reward_tokens(self, rewards, time, is_training: bool, reward_token_mask=None):
+    def _reward_tokens(self, rewards, time, is_training: bool, reward_token_mask=None,
+                       agent_index: int = 0):
         """(b, t') rewards -> (b, t, 1, d) shifted reward tokens, or None.
 
         `reward_token_mask` (b, t) zeroes the reward *embedding* (not the
@@ -592,11 +593,16 @@ class DynamicsWorldModel(nn.Module):
         if reward_token_mask is not None:
             embeds = embeds * reward_token_mask[..., None]
 
-        tokens = embeds + self.reward_learned_embed[0]
+        # per-agent learned embed: rewards/actions supplied to the forward
+        # belong to `agent_index`'s stream (the reference allocates
+        # (num_agents, dim) embeds, `dreamer4.py:4934-4937`, but its token
+        # build only ever adds row 0; here the row is selected)
+        tokens = embeds + self.reward_learned_embed[agent_index]
         return tokens[:, :, None, :]
 
     def _action_tokens(self, discrete_actions, continuous_actions, time, shift: bool,
-                       is_sequential: bool, action_token_mask=None):
+                       is_sequential: bool, action_token_mask=None,
+                       agent_index: int = 0):
         """-> (action_tokens (b,t,1,d) | None, next_action_tokens | None).
 
         `action_token_mask` (b, t) zeroes the whole action token where False —
@@ -610,7 +616,7 @@ class DynamicsWorldModel(nn.Module):
 
         tokens = self.action_embedder(discrete_actions=discrete_actions,
                                       continuous_actions=continuous_actions)
-        tokens = tokens + self.action_learned_embed[0]
+        tokens = tokens + self.action_learned_embed[agent_index]
         action_len = tokens.shape[1]
 
         if action_len == time and shift and not is_sequential:
@@ -824,6 +830,7 @@ class DynamicsWorldModel(nn.Module):
         aug_id=None,
         cfg_dropout_aug: bool | None = None,
         latent_has_view_dim: bool = False,
+        agent_index: int = 0,         # which agent's stream the actions/rewards belong to (static)
         cache: DynamicsCache | None = None,
         max_time: int | None = None,
         latent_is_noised: bool = False,
@@ -928,11 +935,13 @@ class DynamicsWorldModel(nn.Module):
         is_sequential = cache is not None and time == 1
         reward_tokens = self._reward_tokens(rewards, time,
                                             is_training=is_training and not is_inference,
-                                            reward_token_mask=reward_token_mask)
+                                            reward_token_mask=reward_token_mask,
+                                            agent_index=agent_index)
         action_tokens, next_action_tokens = self._action_tokens(
             discrete_actions, continuous_actions, time,
             shift=shift_action_tokens, is_sequential=is_sequential,
-            action_token_mask=action_token_mask)
+            action_token_mask=action_token_mask,
+            agent_index=agent_index)
 
         # ---- aug conditioning token (reference `dreamer4.py:7134-7157`)
         aug_token = None
@@ -1132,8 +1141,11 @@ class DynamicsWorldModel(nn.Module):
         discrete_action_loss = jnp.zeros((self.multi_token_pred_len,))
         continuous_action_loss = jnp.zeros((self.multi_token_pred_len,))
 
+        # (the reference gates this loss on num_agents == 1, `dreamer4.py:7521`;
+        # here the loss reads the indexed agent's actor token so num_agents > 1
+        # trains the per-agent policy whose actions were supplied)
         has_action_loss = (self.discrete_action_loss_weight + self.continuous_action_loss_weight) > 0
-        if (has_action_loss and self.num_agents == 1 and time > 1
+        if (has_action_loss and time > 1
                 and (discrete_actions is not None or continuous_actions is not None)):
             da, ca = discrete_actions, continuous_actions
             if da is not None and shift_action_tokens:
@@ -1150,7 +1162,7 @@ class DynamicsWorldModel(nn.Module):
                 # RL uses: the latent-encoder path, on clean latents
                 actor_tokens, _ = self.latent_actor_inputs(latents0)
             else:
-                actor_tokens = embeds.actor[:, :, 0]  # (b, t, d)
+                actor_tokens = embeds.actor[:, :, agent_index]  # (b, t, d)
             policy_embed = self.policy_head(actor_tokens[:, :num_targets])
 
             def make_mtp(actions):

@@ -187,10 +187,14 @@ def make_world_model_train_step(model: DynamicsWorldModel, tx, ema_decay: float 
 
 # ---------------------------------------------------------------------- RL
 
-def rl_param_labels(params, model: DynamicsWorldModel) -> Any:
-    """'policy' for policy-head + action unembeds, 'value' for the value head,
-    'frozen' for everything else (heads-only RL, reference
-    `dreamer4.py:5343-5363`)."""
+def rl_param_labels(params, model: DynamicsWorldModel, full_model: bool = False) -> Any:
+    """'policy' for policy-head + action unembeds, 'value' for the value head;
+    everything else is 'frozen' in heads-only RL (reference
+    `dreamer4.py:5343-5363`) or 'trunk' when fine-tuning the full model
+    (reference's `only_learn_policy_value_heads=False` mode, where the
+    re-forwarded transformer gets its own optimizer group)."""
+    rest = 'trunk' if full_model else 'frozen'
+
     def label(path, x):
         top = path[0].key if hasattr(path[0], 'key') else str(path[0])
         if top in ('policy_head', 'actor_latent_encoder'):
@@ -203,17 +207,24 @@ def rl_param_labels(params, model: DynamicsWorldModel) -> Any:
                 return 'policy'
         if top == 'critic_state_embedder':
             return 'value'
-        return 'frozen'
+        return rest
     return jax.tree_util.tree_map_with_path(label, params)
 
 
-def make_rl_optimizer(model: DynamicsWorldModel, policy_lr=1e-4, value_lr=1e-4):
+def make_rl_optimizer(model: DynamicsWorldModel, policy_lr=1e-4, value_lr=1e-4,
+                      trunk_lr: float | None = None):
+    """trunk_lr=None -> heads-only RL (trunk frozen); a float fine-tunes the
+    whole world model at that rate (pair with
+    `rl_losses(only_learn_policy_value_heads=False)` so trunk grads exist)."""
+    full_model = trunk_lr is not None
+    transforms = {'policy': optax.adamw(policy_lr),
+                  'value': optax.adamw(value_lr)}
+    if full_model:
+        transforms['trunk'] = optax.adamw(trunk_lr)
+    else:
+        transforms['frozen'] = optax.set_to_zero()
     return lambda params: optax.multi_transform(
-        {'policy': optax.adamw(policy_lr),
-         'value': optax.adamw(value_lr),
-         'frozen': optax.set_to_zero()},
-        rl_param_labels(params, model),
-    )
+        transforms, rl_param_labels(params, model, full_model=full_model))
 
 
 class RLState(NamedTuple):
@@ -223,13 +234,20 @@ class RLState(NamedTuple):
     step: jax.Array
 
 
-def make_rl_update_step(model: DynamicsWorldModel, tx, objective: str = 'ppo'):
+def make_rl_update_step(model: DynamicsWorldModel, tx, objective: str = 'ppo',
+                        only_learn_policy_value_heads: bool = True,
+                        **rl_loss_kwargs):
+    """Pass `only_learn_policy_value_heads=False` (with a `make_rl_optimizer`
+    built with `trunk_lr=`) for full-model RL — the loss then re-forwards the
+    trunk with gradients (reference `dreamer4.py:6048-6070`)."""
     @jax.jit
     def update_step(rl_state: RLState, experience: Experience):
         def loss_fn(params):
             out = rl_losses(model, {'params': params}, experience,
                             objective=objective,
-                            return_stats=rl_state.return_stats)
+                            only_learn_policy_value_heads=only_learn_policy_value_heads,
+                            return_stats=rl_state.return_stats,
+                            **rl_loss_kwargs)
             return out.policy_loss + out.value_loss, out
 
         (total, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(rl_state.params)
@@ -507,14 +525,20 @@ class BehaviorCloneTrainer(_CheckpointableTrainer):
 
     def __init__(self, model: DynamicsWorldModel, variables, *,
                  tokenizer: VideoTokenizer | None = None, tokenizer_variables=None,
+                 aux_image_encoder_fn=None,
                  learning_rate: float = 3e-4, clip_grad_norm: float = 1.0,
                  grad_accum: int = 1,
                  with_ema: bool = True, ema_decay: float = 0.999, seed: int = 0,
                  use_self_flow: bool = False, self_flow_weight: float = 1.0,
                  self_flow_student_layer: int = -3, self_flow_teacher_layer: int = -1):
+        """`aux_image_encoder_fn(video) -> (b, t, n_aux, d_latent)` tokens are
+        appended to the tokenizer latents along the token axis (reference
+        aux_image_encoder, `dreamer4.py:5386-5404, 5914-5921`); construct the
+        model with `num_latent_tokens = tokenizer tokens + n_aux`."""
         self.model = model
         self.tokenizer = tokenizer
         self.tokenizer_variables = tokenizer_variables
+        self.aux_image_encoder_fn = aux_image_encoder_fn
         self.tx = with_grad_accum(
             muon_adam_atan2(learning_rate=learning_rate, clip_grad_norm=clip_grad_norm),
             grad_accum)
@@ -546,8 +570,14 @@ class BehaviorCloneTrainer(_CheckpointableTrainer):
     def train_on_batch(self, batch: dict):
         batch = dict(batch)
         if 'latents' not in batch:
-            assert self._tokenize is not None and 'video' in batch
-            batch['latents'] = self._tokenize(self.tokenizer_variables, batch['video'])
+            assert (self._tokenize is not None or self.aux_image_encoder_fn is not None) \
+                and 'video' in batch
+            parts = []
+            if self._tokenize is not None:
+                parts.append(self._tokenize(self.tokenizer_variables, batch['video']))
+            if self.aux_image_encoder_fn is not None:
+                parts.append(self.aux_image_encoder_fn(batch['video']))
+            batch['latents'] = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-2)
         batch.pop('video', None)
 
         shortcut = bool(self.rng.random() < self.model.prob_shortcut_train)

@@ -218,3 +218,102 @@ def test_actor_critic_latent_input_path():
     roll = EnvInteractor(model)(variables, env, jax.random.PRNGKey(3),
                                 num_steps=2, max_timesteps=4)
     assert np.isfinite(np.asarray(roll.values)).all()
+
+
+def test_full_model_rl_reforwards_trunk(model_and_experience):
+    """only_learn_policy_value_heads=False must re-forward the trunk with
+    gradients even when agent embeds were stored with the experience
+    (reference `dreamer4.py:6048-6070`); heads-only keeps the trunk frozen."""
+    model, variables, exp = model_and_experience
+    assert exp.agent_embed is not None  # stored embeds present
+
+    def loss_fn(params, heads_only):
+        out = rl_losses(model, {'params': params}, exp, objective='ppo',
+                        only_learn_policy_value_heads=heads_only)
+        return out.policy_loss + out.value_loss
+
+    g_full = jax.grad(lambda p: loss_fn(p, False))(variables['params'])
+    g_trunk = jax.tree.reduce(lambda a, b: a + float(jnp.abs(b).sum()),
+                              g_full['transformer'], 0.0)
+    assert g_trunk > 0.0
+
+    g_heads = jax.grad(lambda p: loss_fn(p, True))(variables['params'])
+    g_trunk_frozen = jax.tree.reduce(lambda a, b: a + float(jnp.abs(b).sum()),
+                                     g_heads['transformer'], 0.0)
+    assert g_trunk_frozen == 0.0
+
+
+def test_image_encoder_rl_path(model_and_experience):
+    """experience without latents: video -> encode_video_fn(encoder_params, v)
+    inside the loss; full-model RL trains the encoder, heads-only freezes it
+    (reference `dreamer4.py:5914-5921, 5335-5374`)."""
+    model, variables, exp = model_and_experience
+    b, t = exp.rewards.shape
+    n, d = model.num_latent_tokens, model.dim_latent
+
+    video = jax.random.uniform(jax.random.PRNGKey(9), (b, 3, t, 8, 8))
+    enc_params = {'w': jax.random.normal(jax.random.PRNGKey(10), (3 * 8 * 8, n * d)) * 0.05}
+
+    def encode(p, vid):
+        x = jnp.moveaxis(vid, 2, 1).reshape(vid.shape[0], vid.shape[2], -1)
+        return jnp.tanh(x @ p['w']).reshape(vid.shape[0], vid.shape[2], n, d)
+
+    exp_v = exp.replace(latents=None, video=video, agent_embed=None)
+
+    def loss_fn(p_enc, params, heads_only):
+        out = rl_losses(model, {'params': params}, exp_v, objective='ppo',
+                        only_learn_policy_value_heads=heads_only,
+                        encode_video_fn=encode, encoder_params=p_enc)
+        return out.policy_loss + out.value_loss
+
+    g_enc = jax.grad(lambda p: loss_fn(p, variables['params'], False))(enc_params)
+    assert float(jnp.abs(g_enc['w']).sum()) > 0.0
+
+    g_enc_frozen = jax.grad(lambda p: loss_fn(p, variables['params'], True))(enc_params)
+    assert float(jnp.abs(g_enc_frozen['w']).sum()) == 0.0
+
+
+def test_make_rl_optimizer_trunk_mode(model_and_experience):
+    """trunk_lr wires a 'trunk' group: a full-model update step moves trunk
+    params; the heads-only optimizer keeps them bit-identical."""
+    from dreamer4_tpu.train.trainers import (RLState, make_rl_optimizer,
+                                             make_rl_update_step)
+
+    model, variables, exp = model_and_experience
+
+    def run(trunk_lr, heads_only):
+        tx = make_rl_optimizer(model, policy_lr=1e-3, value_lr=1e-3,
+                               trunk_lr=trunk_lr)(variables['params'])
+        step = make_rl_update_step(model, tx, 'ppo',
+                                   only_learn_policy_value_heads=heads_only)
+        state = RLState(params=variables['params'],
+                        opt_state=tx.init(variables['params']),
+                        return_stats=ReturnStats.create(),
+                        step=jnp.zeros((), jnp.int32))
+        new_state, _ = step(state, exp)
+        before = jnp.concatenate([x.ravel() for x in
+                                  jax.tree_util.tree_leaves(variables['params']['transformer'])])
+        after = jnp.concatenate([x.ravel() for x in
+                                 jax.tree_util.tree_leaves(new_state.params['transformer'])])
+        return float(jnp.abs(after - before).max())
+
+    assert run(trunk_lr=1e-3, heads_only=False) > 0.0
+    assert run(trunk_lr=None, heads_only=True) == 0.0
+
+
+def test_soft_continuation_flag(model_and_experience):
+    """soft_continuation=False ignores terminal_probs for the GAE discount
+    and the alive weights (single hard-terminal mechanism, see rl_losses
+    docstring on the double-discount bias)."""
+    model, variables, _ = model_and_experience
+    exp = generate(model, variables, jax.random.PRNGKey(11),
+                   time_steps=6, num_steps=2, batch_size=2,
+                   hard_terminals=False)
+    assert exp.terminal_probs is not None
+    out_soft = rl_losses(model, variables, exp, objective='ppo',
+                         return_stats=ReturnStats.create())
+    out_hard = rl_losses(model, variables, exp, objective='ppo',
+                         soft_continuation=False,
+                         return_stats=ReturnStats.create())
+    assert 'mean_alive' in out_soft.stats and 'mean_alive' not in out_hard.stats
+    assert float(out_soft.policy_loss) != float(out_hard.policy_loss)
