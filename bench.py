@@ -267,6 +267,13 @@ def main():
 
     extra = {}
 
+    # decode is parameter-bandwidth-bound at these batch sizes: serve bf16
+    # weights (halves the per-forward HBM read; flax casts to the compute
+    # dtype after the read anyway). Training below keeps f32 masters.
+    from dreamer4_tpu.ops.utils import cast_params_for_inference
+    serve_variables = (variables if FORCE_CPU
+                       else cast_params_for_inference(variables, jnp.bfloat16))
+
     # ---- batch sweep of the north-star decode (+ MFU at each point)
     headline_steps_per_s = None
     for batch in SWEEP_BATCHES:
@@ -276,7 +283,7 @@ def main():
             return jnp.sum(exp.latents) + jnp.sum(exp.rewards)
 
         try:
-            per, flops = timed_scan(rollout, (variables,), f'generate b{batch}',
+            per, flops = timed_scan(rollout, (serve_variables,), f'generate b{batch}',
                                     want_flops=True)
         except Exception as e:
             log(f'generate b{batch} failed: {e}')
@@ -301,7 +308,7 @@ def main():
                            num_steps=1, batch_size=HEADLINE_BATCH)
             return jnp.sum(exp.latents) + jnp.sum(exp.rewards)
 
-        per, _ = timed_scan(rollout_1step, (variables,),
+        per, _ = timed_scan(rollout_1step, (serve_variables,),
                             f'generate b{HEADLINE_BATCH} 1-step', iters=ITERS)
         extra[f'generate_batch{HEADLINE_BATCH}_T{TIME_STEPS}_1step'] = {
             'env_steps_per_s': round(HEADLINE_BATCH * TIME_STEPS / per, 1),

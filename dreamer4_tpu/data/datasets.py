@@ -49,6 +49,12 @@ class VideoDataset:
         if self.folder.is_dir():
             candidates = (p for ext in self.EXTENSIONS for p in self.folder.glob(ext))
         else:  # glob pattern, anchored at the first wildcard-free parent
+            if not any(ch in str(self.folder) for ch in '*?['):
+                # a plain path that is not a directory — fail clearly
+                # instead of letting anchor.glob('.') raise a cryptic
+                # ValueError below
+                raise FileNotFoundError(
+                    f'video folder does not exist: {self.folder}')
             anchor = self.folder
             while any(ch in anchor.name for ch in '*?['):
                 anchor = anchor.parent

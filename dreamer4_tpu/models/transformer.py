@@ -15,7 +15,9 @@ Re-design of the reference `AxialSpaceTimeTransformer`
   `dreamer4.py:2949-2963`).
 - Options carried over: learned value residuals, per-head output gates,
   QK norm, attention pools over layer hiddens, per-time-block GRU, final
-  special cross-attend. (MoT / H-Net / spatial modules land in later stages.)
+  special cross-attend, MoT (split special/modality weights + caches on time
+  layers), pluggable spatial modules (MOSS), and the H-Net hierarchical
+  temporal splice (`nn/hnet.py`) — all implemented in this file.
 """
 from __future__ import annotations
 
@@ -187,6 +189,13 @@ class AxialSpaceTimeTransformer(nn.Module):
         space_width: int | None = None,
     ):
         b, t_full, s, d = tokens.shape
+
+        # the trunk owns the compute dtype: cast once at entry so an f32
+        # learned embed added upstream can't promote the whole residual
+        # stream (the silent-f32 failure mode costs ~2x HBM traffic and the
+        # bf16 MXU path)
+        if self.dtype is not None:
+            tokens = tokens.astype(self.dtype)
 
         # `cache` passed in -> continuing an autoregressive decode.
         # `max_time` (static) with no cache -> parallel pass that also builds a

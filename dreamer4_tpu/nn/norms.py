@@ -11,19 +11,26 @@ from ..ops.utils import l2norm
 class RMSNorm(nn.Module):
     """Standard RMSNorm with learned scale (weight-decay friendly: param is
     stored as an offset from 1, matching the reference's MultiHeadRMSNorm
-    convention for the per-head variant)."""
+    convention for the per-head variant).
+
+    The reduction runs in f32 for stability, but the output is cast back to
+    the input dtype: the f32 `scale` param must not promote a bf16 residual
+    stream to f32 (that silently doubled training HBM traffic and pushed the
+    matmuls off the bf16 MXU path)."""
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
         scale = self.param('scale', nn.initializers.ones, (dim,))
-        normed = x * jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True) + 1e-6)
-        return normed * scale
+        xf = x.astype(jnp.float32)
+        normed = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + 1e-6)
+        return (normed * scale).astype(x.dtype)
 
 
 class MultiHeadRMSNorm(nn.Module):
     """Per-head QK RMSNorm (reference `dreamer4.py:1663-1679`): l2-normalize
-    per head then scale by (gamma + 1) * sqrt(dim_head)."""
+    per head then scale by (gamma + 1) * sqrt(dim_head). f32 internally,
+    output in the input dtype (same promotion rule as RMSNorm)."""
 
     dim_head: int
     heads: int
@@ -31,6 +38,6 @@ class MultiHeadRMSNorm(nn.Module):
     @nn.compact
     def __call__(self, x):  # (..., h, n, d)
         gamma = self.param('gamma', nn.initializers.zeros, (self.heads, self.dim_head))
-        normed = l2norm(x)
+        normed = l2norm(x.astype(jnp.float32))
         scale = (gamma + 1.0) * (self.dim_head ** 0.5)
-        return normed * scale[..., :, None, :]
+        return (normed * scale[..., :, None, :]).astype(x.dtype)

@@ -36,7 +36,11 @@ def naive_attend(
 
     q = q.reshape(*q.shape[:-3], hk, groups, *q.shape[-2:])  # (b, h, g, i, d)
 
-    sim = jnp.einsum('...hgid,...hjd->...hgij', q, k) * scale
+    # scores and softmax in f32 (matching the Pallas kernel's accumulator
+    # semantics); the PV matmul runs back in the input dtype so a bf16
+    # stream stays bf16 end to end
+    sim = jnp.einsum('...hgid,...hjd->...hgij', q, k,
+                     preferred_element_type=jnp.float32) * scale
 
     if softclamp_value is not None:
         sim = softclamp(sim, softclamp_value)
@@ -44,7 +48,7 @@ def naive_attend(
     if mask is not None:
         sim = jnp.where(mask, sim, NEG_INF)
 
-    attn = jax.nn.softmax(sim, axis=-1)
+    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
 
     out = jnp.einsum('...hgij,...hjd->...hgid', attn, v)
     return out.reshape(*out.shape[:-4], hq, *out.shape[-2:])

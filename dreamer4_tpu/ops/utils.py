@@ -168,3 +168,21 @@ def tree_stack(trees: Sequence[Any]):
 def ramp_weight(times: jax.Array, slope: float = 0.9, intercept: float = 0.1) -> jax.Array:
     """Ramp loss weighting, eq (8) of the paper (reference `dreamer4.py:897-899`)."""
     return slope * times + intercept
+
+
+def cast_params_for_inference(variables: Any, dtype=jnp.bfloat16) -> Any:
+    """Cast float32 leaves of a variables pytree to `dtype` for serving.
+
+    Autoregressive decode on TPU is parameter-bandwidth-bound at small
+    batch: every denoise forward streams the whole parameter set from HBM,
+    so f32 weights cost 2x the bytes of bf16 for the same matmuls (flax
+    modules cast to the compute dtype AFTER the HBM read). Training keeps
+    f32 master weights; this is inference-only (mirrors standard bf16
+    serving; reference decode runs whatever dtype the torch module holds).
+    Non-float leaves (ints, bools, rng state) pass through unchanged.
+    """
+    def cast(x):
+        if isinstance(x, jax.Array) and x.dtype == jnp.float32:
+            return x.astype(dtype)
+        return x
+    return jax.tree.map(cast, variables)

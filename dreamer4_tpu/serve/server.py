@@ -12,45 +12,18 @@ import json
 import struct
 import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
 
 import numpy as np
 
-_INDEX_HTML = """<!doctype html>
-<html><head><title>dreamer4_tpu world model</title>
-<style>
- body { font-family: monospace; background: #111; color: #eee; text-align: center; }
- img { image-rendering: pixelated; width: 320px; margin: 2em; border: 1px solid #444; }
- button { font-size: 1.2em; margin: .3em; padding: .4em 1em; }
-</style></head>
-<body>
-<h2>dreamer4_tpu — world model env</h2>
-<img id="frame" />
-<div id="info"></div>
-<div>
- <button onclick="reset_()">reset</button>
- <button onclick="step(0)">&uarr;</button><br/>
- <button onclick="step(3)">&larr;</button>
- <button onclick="step(2)">&darr;</button>
- <button onclick="step(1)">&rarr;</button>
-</div>
-<script>
-async function reset_() { render(await (await fetch('/reset', {method:'POST'})).json()); }
-async function step(a) {
-  render(await (await fetch('/step', {method:'POST', headers:{'Content-Type':'application/json'},
-         body: JSON.stringify({action: a})})).json());
-}
-function render(r) {
-  document.getElementById('frame').src = 'data:image/png;base64,' + r.frame;
-  document.getElementById('info').innerText =
-    'reward: ' + (r.reward ?? '-') + '  terminated: ' + (r.terminated ?? '-');
-}
-reset_();
-document.addEventListener('keydown', e => {
-  const map = {ArrowUp: 0, ArrowRight: 1, ArrowDown: 2, ArrowLeft: 3};
-  if (e.key in map) step(map[e.key]);
-});
-</script>
-</body></html>"""
+# browser UIs shipped with the package (the reference's `web_env/index.html`
+# interactive play page and `web_env/inspect_index.html` episode inspector,
+# re-implemented): served at `/` by WebEnvServer / InspectReplayBufferServer
+_STATIC_DIR = Path(__file__).parent / 'static'
+
+
+def _static_html(name: str) -> bytes:
+    return (_STATIC_DIR / name).read_bytes()
 
 
 def encode_png(image: np.ndarray) -> bytes:
@@ -100,7 +73,7 @@ class WebEnvServer:
 
             def do_GET(self):
                 if self.path in ('/', '/index.html'):
-                    body = _INDEX_HTML.encode()
+                    body = _static_html('play.html')
                     self.send_response(200)
                     self.send_header('Content-Type', 'text/html')
                     self.send_header('Content-Length', str(len(body)))
@@ -116,20 +89,40 @@ class WebEnvServer:
                 if self.path == '/reset':
                     out = outer.env.reset()
                     obs = out[0] if isinstance(out, tuple) else out
-                    self._json({'frame': outer._frame_b64(obs)})
+                    self._json({'frame': outer._frame_b64(obs),
+                                'steps_left': outer._steps_left()})
                 elif self.path == '/step':
                     action = payload.get('action', 0)
                     obs, reward, terminated, truncated, info = outer._parse(outer.env.step(action))
+                    terminated = bool(np.asarray(terminated).reshape(-1)[0])
+                    truncated = bool(np.asarray(truncated).reshape(-1)[0])
                     self._json({
                         'frame': outer._frame_b64(obs),
                         'reward': float(np.asarray(reward).reshape(-1)[0]),
-                        'terminated': bool(np.asarray(terminated).reshape(-1)[0]),
-                        'truncated': bool(np.asarray(truncated).reshape(-1)[0]),
+                        'terminated': terminated,
+                        'truncated': truncated,
+                        'done': terminated or truncated,
+                        'steps_left': outer._steps_left(),
                     })
                 else:
                     self._json({'error': 'not found'}, 404)
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
+
+    def _steps_left(self):
+        """Remaining steps if the env (or its innermost wrapped env) exposes
+        max_steps/steps counters (reference `web_env/server.py:45-51`)."""
+        env = self.env
+        for _ in range(8):  # unwrap nested wrappers
+            if hasattr(env, 'max_steps') and hasattr(env, 'steps'):
+                return int(env.max_steps) - int(env.steps)
+            if hasattr(env, 'max_timesteps') and hasattr(env, 'steps'):
+                return int(env.max_timesteps) - int(env.steps)
+            inner = getattr(env, 'env', None)
+            if inner is None:
+                return None
+            env = inner
+        return None
 
     @staticmethod
     def _parse(step_out):
@@ -157,35 +150,7 @@ class WebEnvServer:
         self.httpd.shutdown()
 
 
-_INSPECT_HTML = """<!doctype html>
-<html><head><title>replay buffer inspector</title>
-<style>
- body { font-family: monospace; background: #111; color: #eee; padding: 2em; }
- img { image-rendering: pixelated; height: 96px; margin: 2px; border: 1px solid #333; }
- .ep { cursor: pointer; color: #8cf; }
-</style></head>
-<body>
-<h2>replay buffer</h2>
-<pre id="stats"></pre>
-<div id="episodes"></div>
-<div id="frames"></div>
-<script>
-async function load() {
-  const stats = await (await fetch('/api/stats')).json();
-  document.getElementById('stats').innerText = JSON.stringify(stats, null, 2);
-  const eps = await (await fetch('/api/episodes')).json();
-  document.getElementById('episodes').innerHTML = eps.episodes.map(
-    e => `<div class="ep" onclick="show(${e.index})">episode ${e.index}: len ${e.length}, return ${e.total_reward.toFixed(2)}</div>`
-  ).join('');
-}
-async function show(i) {
-  const ep = await (await fetch('/api/episode/' + i)).json();
-  document.getElementById('frames').innerHTML =
-    (ep.frames || []).map(f => `<img src="data:image/png;base64,${f}"/>`).join('');
-}
-load();
-</script>
-</body></html>"""
+
 
 
 class InspectReplayBufferServer:
@@ -215,7 +180,7 @@ class InspectReplayBufferServer:
             def do_GET(self):
                 buf = outer.buffer
                 if self.path in ('/', '/index.html'):
-                    body = _INSPECT_HTML.encode()
+                    body = _static_html('inspect.html')
                     self.send_response(200)
                     self.send_header('Content-Type', 'text/html')
                     self.send_header('Content-Length', str(len(body)))
@@ -254,11 +219,24 @@ class InspectReplayBufferServer:
                             if frame.dtype == np.uint8:
                                 frame = frame.astype(np.float32) / 255.0
                             frames.append(base64.b64encode(encode_png(frame)).decode())
+                    # every other per-frame field small enough to display
+                    # (actions, proprio, ...) rides along for the UI's
+                    # per-frame field cards (reference
+                    # `inspect_server.py:99-115` sends all fields per frame)
+                    fields = {}
+                    for k, v in ep.items():
+                        if k in ('_length', 'video', 'rewards', 'terminated'):
+                            continue
+                        arr = np.asarray(v)
+                        if (arr.ndim >= 1 and arr.dtype.kind in 'ifub'
+                                and arr.size <= 16 * max(arr.shape[0], 1)):
+                            fields[k] = arr.tolist()
                     self._json(dict(
                         index=idx,
                         length=int(ep['_length']),
                         rewards=np.asarray(ep.get('rewards', [])).tolist(),
                         terminated=np.asarray(ep.get('terminated', [])).tolist(),
+                        fields=fields,
                         frames=frames,
                     ))
                 else:

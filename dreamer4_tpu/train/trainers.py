@@ -429,13 +429,13 @@ class SimTrainer:
                 continue
             # reference-style minibatched epochs (trainers.py:1529-1539);
             # fixed minibatch shape keeps one compiled update program. A
-            # non-divisible tail wraps around to the front of the
-            # permutation so every row is consumed each epoch.
+            # non-divisible tail is dropped — each epoch draws a fresh
+            # permutation, so every row is trained with equal probability in
+            # expectation (wrapping the tail would train those rows twice
+            # per epoch, over-weighting them).
             perm = self.rng.permutation(b)
-            for s in range(0, b, mb):
+            for s in range(0, b - mb + 1, mb):
                 idx = perm[s:s + mb]
-                if len(idx) < mb:
-                    idx = np.concatenate([idx, perm[:mb - len(idx)]])
                 self.rl_state, out = self._update(
                     self.rl_state, index_experience(experience, jnp.asarray(idx)))
                 outs.append(out)
@@ -476,6 +476,10 @@ class _CheckpointableTrainer:
         if getattr(self, 'key', None) is not None:
             key = self.key
             if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+                # record the impl so restore() re-wraps to a typed key of the
+                # same flavor instead of silently downgrading to a raw
+                # uint32 key array
+                extra['_jax_key_impl'] = str(jax.random.key_impl(key))
                 key = jax.random.key_data(key)
             extra['_jax_key'] = np.asarray(key).tolist()
         if getattr(self, 'rng', None) is not None:
@@ -495,6 +499,12 @@ class _CheckpointableTrainer:
             if latest_tmp.is_symlink() or latest_tmp.exists():
                 latest_tmp.unlink()
             latest_tmp.symlink_to(target.name)
+            if latest.exists() and not latest.is_symlink():
+                # `latest` materialized as a real directory (e.g. a
+                # checkpoint tree copied with symlink dereferencing) —
+                # replace() would raise IsADirectoryError
+                import shutil
+                shutil.rmtree(latest)
             latest_tmp.replace(latest)
         return target
 
@@ -510,7 +520,13 @@ class _CheckpointableTrainer:
             path = (path / 'latest').resolve()
         self.ts, extra = load_train_state(path, abstract_ts=self.ts)
         if '_jax_key' in extra and getattr(self, 'key', None) is not None:
-            self.key = jnp.asarray(extra.pop('_jax_key'), jnp.uint32)
+            key = jnp.asarray(extra.pop('_jax_key'), jnp.uint32)
+            impl = extra.pop('_jax_key_impl', None)
+            if impl is not None:
+                # the key was typed at save time — re-wrap so its type
+                # survives the resume round-trip
+                key = jax.random.wrap_key_data(key, impl=impl)
+            self.key = key
         if '_np_rng' in extra and getattr(self, 'rng', None) is not None:
             self.rng.bit_generator.state = extra.pop('_np_rng')
         return extra

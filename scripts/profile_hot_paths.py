@@ -24,6 +24,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _op_category(name: str) -> str:
+    """Rough XLA-op category for a roll-up that survives name mangling."""
+    n = name.lower()
+    if 'convolution' in n or 'dot' in n or 'matmul' in n or 'conv' in n:
+        return 'matmul/conv'
+    if 'all-reduce' in n or 'all-gather' in n or 'collective' in n:
+        return 'collective'
+    if 'copy' in n or 'slice-start' in n or 'slice-done' in n or 'transpose' in n:
+        return 'copy/slice/transpose'
+    if 'fusion' in n:
+        return 'fusion (elementwise/reduce)'
+    if 'custom-call' in n or 'tpu_custom_call' in n:
+        return 'custom-call (pallas)'
+    if 'infeed' in n or 'outfeed' in n or 'host' in n:
+        return 'host'
+    return 'other'
+
+
 def summarize_trace(trace_dir: str, top: int = 35):
     from jax.profiler import ProfileData
 
@@ -33,24 +51,49 @@ def summarize_trace(trace_dir: str, top: int = 35):
         print(f'no xplane.pb under {trace_dir}', flush=True)
         return
     data = ProfileData.from_file(paths[-1])
+    # device-plane XLA ops only, bucketed per line so queue/step lines don't
+    # double-count compute; category roll-up for the headline breakdown
     totals: dict[str, float] = collections.defaultdict(float)
     counts: dict[str, int] = collections.defaultdict(int)
-    plane_names = []
+    # the sync 'XLA Ops' line is the serial device timeline; 'Async XLA Ops'
+    # (DMA prefetch etc.) overlaps it and must be reported separately
+    cats: dict[tuple, float] = collections.defaultdict(float)
+    line_totals: dict[str, float] = collections.defaultdict(float)
     for plane in data.planes:
-        plane_names.append(plane.name)
-        if 'TPU' not in plane.name and 'device' not in plane.name.lower():
-            continue
+        is_device = plane.name.startswith('/device:TPU') or plane.name.startswith('/device:CUSTOM')
         for line in plane.lines:
+            key = f'{plane.name} :: {line.name}'
             for event in line.events:
-                name = event.name
-                totals[name] += event.duration_ns
-                counts[name] += 1
-    print(f'planes: {plane_names}', flush=True)
+                line_totals[key] += event.duration_ns
+                if is_device and 'XLA Op' in line.name:
+                    which = 'async' if 'Async' in line.name else 'sync'
+                    if which == 'sync':
+                        totals[event.name] += event.duration_ns
+                        counts[event.name] += 1
+                    cats[(which, _op_category(event.name))] += event.duration_ns
+    print('per-line totals:', flush=True)
+    for key, ns in sorted(line_totals.items(), key=lambda kv: -kv[1])[:12]:
+        print(f'  {ns/1e6:10.2f} ms  {key}', flush=True)
     grand = sum(totals.values())
-    print(f'total device event time: {grand/1e6:.1f} ms (overlapping lines counted)',
-          flush=True)
-    for name, ns in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
-        print(f'  {ns/1e6:9.2f} ms  x{counts[name]:<6} {name[:110]}', flush=True)
+    if grand:
+        for which in ('sync', 'async'):
+            sub = {c: ns for (w, c), ns in cats.items() if w == which}
+            tot = sum(sub.values())
+            if not tot:
+                continue
+            print(f'{which} XLA-op time: {tot/1e6:.1f} ms — by category:', flush=True)
+            for cat, ns in sorted(sub.items(), key=lambda kv: -kv[1]):
+                print(f'  {ns/1e6:9.2f} ms ({100*ns/tot:5.1f}%)  {cat}', flush=True)
+        print('top sync ops:', flush=True)
+        for name, ns in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
+            print(f'  {ns/1e6:9.2f} ms  x{counts[name]:<6} {name[:110]}', flush=True)
+    else:
+        # fall back to everything on device planes
+        print('no XLA Ops line found; dumping device planes', flush=True)
+        for plane in data.planes:
+            for line in plane.lines:
+                print(f'  plane={plane.name!r} line={line.name!r} '
+                      f'events={sum(1 for _ in line.events)}', flush=True)
 
 
 def main():

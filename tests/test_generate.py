@@ -367,3 +367,26 @@ def test_generate_forced_actions():
     assert float(jnp.abs(exp0.latents - exp1.latents).sum()) > 0
     # log-probs are evaluated at the executed (forced) action
     assert np.isfinite(np.asarray(exp0.log_probs.discrete)).all()
+
+
+def test_generate_with_bf16_serve_params():
+    """Serving path: f32-trained params cast to bf16
+    (`cast_params_for_inference`) must produce a structurally identical,
+    finite rollout — the param-bandwidth-bound decode reads half the HBM
+    bytes this way (bench.py headline runs it)."""
+    from dreamer4_tpu.ops.utils import cast_params_for_inference
+
+    model = make_model(dtype=jnp.bfloat16)
+    variables = init_model(model)
+    served = cast_params_for_inference(variables, jnp.bfloat16)
+    # float leaves cast, int leaves untouched
+    assert all(x.dtype != jnp.float32
+               for x in jax.tree.leaves(served['params'])
+               if jnp.issubdtype(x.dtype, jnp.floating))
+
+    exp = generate(model, served, jax.random.PRNGKey(0),
+                   time_steps=4, num_steps=2, batch_size=2)
+    assert exp.latents.shape == (2, 4, 4, 8)
+    assert np.isfinite(np.asarray(exp.latents, np.float32)).all()
+    assert np.isfinite(np.asarray(exp.values, np.float32)).all()
+    assert exp.actions.discrete.shape == (2, 4, 1)

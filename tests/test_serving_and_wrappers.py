@@ -131,8 +131,15 @@ def test_png_and_server():
             out = json.loads(r.read())
         assert 'reward' in out and 'frame' in out
 
+        assert 'done' in out and 'steps_left' in out  # UI status fields
+
+        # the interactive play page renders and drives the JSON protocol
         with urllib.request.urlopen('http://127.0.0.1:18731/', timeout=5) as r:
-            assert b'dreamer4_tpu' in r.read()
+            page = r.read().decode()
+        assert 'dreamer4_tpu' in page
+        for marker in ("post('/step'", "post('/reset'", 'data.frame',
+                       'KEYMAP', 'steps_left'):
+            assert marker in page, f'play.html missing {marker}'
     finally:
         server.shutdown()
 
@@ -174,12 +181,14 @@ def test_inspect_server(tmp_path):
 
     buf = ReplayBuffer(
         tmp_path / 'ibuf', max_episodes=4, max_timesteps=10,
-        fields=dict(video=('uint8', (3, 8, 8)), rewards='float', terminated='bool'))
+        fields=dict(video=('uint8', (3, 8, 8)), rewards='float', terminated='bool',
+                    actions=('int', (1,))))
     rng = np.random.default_rng(0)
     with buf.one_episode():
         for t in range(4):
             buf.store(video=(rng.random((3, 8, 8)) * 255).astype('uint8'),
-                      rewards=float(t), terminated=False)
+                      rewards=float(t), terminated=False,
+                      actions=np.array([t % 4]))
 
     server = InspectReplayBufferServer(buf, port=18733, host='127.0.0.1')
     thread = threading.Thread(target=server.httpd.serve_forever, daemon=True)
@@ -195,6 +204,17 @@ def test_inspect_server(tmp_path):
         with urllib.request.urlopen('http://127.0.0.1:18733/api/episode/0', timeout=5) as r:
             ep = json.loads(r.read())
         assert len(ep['frames']) == 4
+        # non-video per-frame fields ride along for the UI's field cards
+        assert ep['fields']['actions'] == [[0], [1], [2], [3]]
+        assert ep['rewards'] == [0.0, 1.0, 2.0, 3.0]
+
+        # the episode-browser inspector page renders against this API
+        with urllib.request.urlopen('http://127.0.0.1:18733/', timeout=5) as r:
+            page = r.read().decode()
+        assert 'dreamer4_tpu' in page
+        for marker in ("'/api/stats'", "'/api/episodes'", "'/api/episode/'",
+                       'scrub', 'playpause', 'ep.fields'):
+            assert marker in page, f'inspect.html missing {marker}'
     finally:
         server.shutdown()
 

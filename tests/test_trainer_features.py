@@ -57,3 +57,58 @@ def test_bc_trainer_self_flow():
                      trainer.ts.params['self_flow_head'],
                      trainer.ts.ema_params['self_flow_head']), 0.0)
     assert head_delta >= 0  # exists and tracked
+
+
+def test_lpips_real_weights_path(tmp_path):
+    """`lpips_weights_path` loads a torchvision-layout VGG16 npz
+    (features.N.weight OIHW + bias) and produces a DIFFERENT feature-space
+    loss than the seeded random init — the load path works end to end, so a
+    user with a real pretrained file gets true LPIPS (reference
+    `dreamer4.py:671-724` instantiates torchvision vgg16 weights)."""
+    from dreamer4_tpu.nn.lpips import (VGG16_PLAN, init_lpips, lpips_loss)
+
+    rng = np.random.default_rng(0)
+    arrays, torch_layer = {}, 0
+    in_ch = 3
+    for out_ch, n_convs in VGG16_PLAN:
+        for _ in range(n_convs):
+            arrays[f'features.{torch_layer}.weight'] = (
+                rng.standard_normal((out_ch, in_ch, 3, 3)).astype(np.float32) * 0.05)
+            arrays[f'features.{torch_layer}.bias'] = np.zeros(out_ch, np.float32)
+            in_ch = out_ch
+            torch_layer += 2
+        torch_layer += 1
+    path = tmp_path / 'vgg16.npz'
+    np.savez(path, **arrays)
+
+    module, loaded_vars = init_lpips(weights_path=str(path))
+    module_r, random_vars = init_lpips(key=jax.random.PRNGKey(3))
+
+    # weights converted faithfully: OIHW -> HWIO
+    k = loaded_vars['params']['conv_0']['kernel']
+    assert k.shape == (3, 3, 3, 64)
+    np.testing.assert_allclose(
+        np.asarray(k), np.transpose(arrays['features.0.weight'], (2, 3, 1, 0)))
+
+    pred = jax.random.uniform(jax.random.PRNGKey(0), (1, 2, 32, 32, 3))
+    target = jax.random.uniform(jax.random.PRNGKey(1), (1, 2, 32, 32, 3))
+    loss_loaded = float(lpips_loss(module, loaded_vars, pred, target,
+                                   jax.random.PRNGKey(2)))
+    loss_random = float(lpips_loss(module_r, random_vars, pred, target,
+                                   jax.random.PRNGKey(2)))
+    assert np.isfinite(loss_loaded) and loss_loaded > 0.0
+    assert abs(loss_loaded - loss_random) > 1e-8  # different feature spaces
+
+    # and the trainer-level wiring accepts the file
+    from dreamer4_tpu.train.trainers import TokenizerTrainer
+    tok = VideoTokenizer(
+        dim=16, dim_latent=8, patch_size=8, image_height=32, image_width=32,
+        num_latent_tokens=2, encoder_depth=1, decoder_depth=1, time_block_every=1,
+        attn_dim_head=8, attn_heads=2, lpips_loss_weight=0.2)
+    video = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 2, 32, 32))
+    variables = tok.init({'params': jax.random.PRNGKey(0),
+                          'sample': jax.random.PRNGKey(1)}, video)
+    trainer = TokenizerTrainer(tok, variables, use_lpips=True,
+                               lpips_weights_path=str(path))
+    loss, losses = trainer.train_on_batch(video)
+    assert jnp.isfinite(loss) and float(losses.lpips) != 0.0
