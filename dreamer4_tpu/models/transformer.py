@@ -187,6 +187,7 @@ class AxialSpaceTimeTransformer(nn.Module):
         return_intermediates: bool = False,
         space_height: int | None = None,
         space_width: int | None = None,
+        collect_normed_inputs: bool = True,
     ):
         b, t_full, s, d = tokens.shape
 
@@ -519,11 +520,14 @@ class AxialSpaceTimeTransformer(nn.Module):
         if not return_intermediates:
             return out, new_cache
 
+        # the stacks feed the tokenizer's decorrelation loss only; callers that
+        # don't need them (the world model) skip the copies
+        collect = collect_normed_inputs
         outputs = TransformerOutputs(
             tokens=out,
             cache=new_cache,
-            normed_time_inputs=jnp.stack(normed_time_inputs) if normed_time_inputs else None,
-            normed_space_inputs=jnp.stack(normed_space_inputs) if normed_space_inputs else None,
+            normed_time_inputs=jnp.stack(normed_time_inputs) if (collect and normed_time_inputs) else None,
+            normed_space_inputs=jnp.stack(normed_space_inputs) if (collect and normed_space_inputs) else None,
             layer_hiddens=layer_hiddens,
             token_count=token_count + t,
             h_net_loss=h_net_loss,

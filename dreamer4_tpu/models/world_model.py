@@ -368,8 +368,8 @@ class DynamicsWorldModel(nn.Module):
         self.value_head = create_mlp(dim * 4, self.value_head_mlp_depth, value_bins, name='value_head')
 
         if self.actor_critic_latent_input:
-            assert self.num_video_views == 1, \
-                'actor_critic_latent_input assumes single-view latents'
+            # multi-view: the shared encoders run per view and the outputs are
+            # mean-pooled (see latent_actor_inputs)
             self.actor_latent_encoder = create_mlp(dim, 2, dim,
                                                    name='actor_latent_encoder')
             self.critic_latent_encoder = create_mlp(dim, 2, dim,
@@ -378,13 +378,17 @@ class DynamicsWorldModel(nn.Module):
         if self.should_pred_state:
             self.state_pred_token = self.param('state_pred_token', nn.initializers.normal(1e-2), (dim,))
             self.state_pred_norm = RMSNorm(name='state_pred_norm')
-            self.to_state_pred = nn.Dense(self.num_latent_tokens * dim_latent * 2,
-                                          name='to_state_pred')
+            # per-view Beta params: (v, n, d_latent, 2) flattened
+            self.to_state_pred = nn.Dense(
+                self.num_video_views * self.num_latent_tokens * dim_latent * 2,
+                name='to_state_pred')
 
         if self.agent_predicts_state:
             dim_in = dim * 2 if self.has_actions else dim
-            self.agent_state_pred_net = create_mlp(dim_in, 2, self.num_latent_tokens * dim_latent * 2,
-                                                   name='agent_state_pred_net')
+            self.agent_state_pred_net = create_mlp(
+                dim_in, 2,
+                self.num_video_views * self.num_latent_tokens * dim_latent * 2,
+                name='agent_state_pred_net')
 
         if self.latent_ar:
             assert self.latent_ar_layer is not None
@@ -541,9 +545,16 @@ class DynamicsWorldModel(nn.Module):
 
     def latent_actor_inputs(self, latents):
         """(..., n, d_latent) -> (actor_in, critic_in), each (..., dim) — the
-        drift-free policy/value inputs (see actor_critic_latent_input)."""
+        drift-free policy/value inputs (see actor_critic_latent_input).
+
+        With `num_video_views > 1` pass (..., v, n, d_latent): the shared
+        encoders run per view and the outputs are mean-pooled over views."""
         flat = latents.reshape(*latents.shape[:-2], -1)
-        return self.actor_latent_encoder(flat), self.critic_latent_encoder(flat)
+        a = self.actor_latent_encoder(flat)
+        c = self.critic_latent_encoder(flat)
+        if self.num_video_views > 1:
+            a, c = a.mean(axis=-2), c.mean(axis=-2)
+        return a, c
 
     def init_cache(self, batch: int, max_time: int, dtype=None) -> DynamicsCache:
         # KV caches default to the trunk's compute dtype: a bf16 model keeps a
@@ -678,7 +689,8 @@ class DynamicsWorldModel(nn.Module):
         if self.spatial_pre_encoder_depth > 0:
             space_tokens, spatial_interm = self.spatial_pre_encoder(
                 space_tokens, cache=cache.spatial if cache is not None else None,
-                max_time=max_time, return_intermediates=True)
+                max_time=max_time, return_intermediates=True,
+                collect_normed_inputs=False)
             pre_encoded_spatial = space_tokens
 
         # action pre-encoding (reference `dreamer4.py:7217-7218`)
@@ -686,7 +698,8 @@ class DynamicsWorldModel(nn.Module):
         if self.action_pre_encoder_depth > 0 and action_tokens is not None:
             action_tokens, action_interm = self.action_pre_encoder(
                 action_tokens, cache=cache.action if cache is not None else None,
-                max_time=max_time, return_intermediates=True)
+                max_time=max_time, return_intermediates=True,
+                collect_normed_inputs=False)
 
         registers = jnp.broadcast_to(self.register_tokens[None, None], (b, t, self.num_register_tokens, dim))
 
@@ -735,7 +748,8 @@ class DynamicsWorldModel(nn.Module):
 
         main_cache = cache.main if cache is not None else None
         tokens, interm = self.transformer(tokens, cache=main_cache, max_time=max_time,
-                                          return_intermediates=True)
+                                          return_intermediates=True,
+                                          collect_normed_inputs=False)
 
         # actor / critic transformer heads (reference `dreamer4.py:7230-7238`)
         actor_tokens = critic_tokens = None
@@ -743,11 +757,13 @@ class DynamicsWorldModel(nn.Module):
         if self.actor_depth > 0:
             actor_tokens, actor_interm = self.actor_transformer(
                 tokens, cache=cache.actor if cache is not None else None,
-                max_time=max_time, return_intermediates=True)
+                max_time=max_time, return_intermediates=True,
+                collect_normed_inputs=False)
         if self.critic_depth > 0:
             critic_tokens, critic_interm = self.critic_transformer(
                 tokens, cache=cache.critic if cache is not None else None,
-                max_time=max_time, return_intermediates=True)
+                max_time=max_time, return_intermediates=True,
+                collect_normed_inputs=False)
 
         # unpack
         offsets = [0]
@@ -788,7 +804,9 @@ class DynamicsWorldModel(nn.Module):
         pred_state = None
         if self.should_pred_state:
             s = self.to_state_pred(self.state_pred_norm(state_pred_out[:, :, 0]))
-            pred_state = s.reshape(b, t, self.num_latent_tokens, self.dim_latent, 2)
+            pred_state = s.reshape(b, t, v, self.num_latent_tokens, self.dim_latent, 2)
+            if v == 1:
+                pred_state = pred_state[:, :, 0]  # single-view callers keep (b, t, n, d, 2)
 
         predictions = Predictions(flow=pred, proprio=pred_proprio, state=pred_state)
         embeds = Embeds(agent=agent_out, state_pred=state_pred_out,
@@ -1102,17 +1120,22 @@ class DynamicsWorldModel(nn.Module):
             bce = jnp.maximum(logits, 0) - logits * terminals_seq + jnp.log1p(jnp.exp(-jnp.abs(logits)))
             terminal_loss = masked_mean(bce, loss_mask_without_last) if is_var_len else jnp.mean(bce)
 
-        # ---- autoregressive state prediction (Beta NLL); single-view heads
+        # ---- autoregressive state prediction (Beta NLL); per-view heads
         latents0 = latents[:, :, 0]
+        multi_view = self.num_video_views > 1
         state_pred_loss = zero
         if self.should_pred_state and time > 1:
-            assert self.num_video_views == 1, 'state prediction heads assume a single view'
-            pred_latent = pred.state[:, :-1]
-            latent_to_pred = (latents0[:, 1:] + 1.0) / 2.0
+            pred_latent = pred.state[:, :-1]           # (b, t-1, [v,] n, d, 2)
+            target = latents[:, 1:] if multi_view else latents0[:, 1:]
+            latent_to_pred = (target + 1.0) / 2.0
             latent_to_pred = jnp.clip(latent_to_pred, self.eps_latent_pred, 1.0 - self.eps_latent_pred)
             nll = -dists.continuous_log_prob(pred_latent, latent_to_pred, 'beta')
-            state_pred_loss = (masked_mean(nll, loss_mask_without_last[..., None, None])
-                               if is_var_len else jnp.mean(nll))
+            if is_var_len:
+                mask = loss_mask_without_last.reshape(
+                    *loss_mask_without_last.shape, *([1] * (nll.ndim - 2)))
+                state_pred_loss = masked_mean(nll, mask)
+            else:
+                state_pred_loss = jnp.mean(nll)
 
         # ---- agent predicts state (Beta NLL off agent embed + next action)
         agent_state_pred_loss = zero
@@ -1129,12 +1152,14 @@ class DynamicsWorldModel(nn.Module):
                     [agent_embeds_in[:, :seq_len], nat[:, :seq_len]], axis=-1)
             s = self.agent_state_pred_net(agent_embeds_in)
             seq_len = s.shape[1]
-            s = s.reshape(b, seq_len, self.num_latent_tokens, self.dim_latent, 2)
-            latent_to_pred = (latents0[:, 1:1 + seq_len] + 1.0) / 2.0
+            s = s.reshape(b, seq_len, self.num_video_views,
+                          self.num_latent_tokens, self.dim_latent, 2)
+            target = latents[:, 1:1 + seq_len] if multi_view else latents0[:, 1:1 + seq_len, None]
+            latent_to_pred = (target + 1.0) / 2.0
             latent_to_pred = jnp.clip(latent_to_pred, self.eps_latent_pred, 1.0 - self.eps_latent_pred)
             nll = -dists.continuous_log_prob(s, latent_to_pred, 'beta')
             agent_state_pred_loss = (
-                masked_mean(nll, loss_mask_without_last[:, :seq_len][..., None, None])
+                masked_mean(nll, loss_mask_without_last[:, :seq_len][..., None, None, None])
                 if is_var_len else jnp.mean(nll))
 
         # ---- autoregressive action MTP loss (reference `dreamer4.py:7513-7598`)
@@ -1160,7 +1185,8 @@ class DynamicsWorldModel(nn.Module):
             if self.actor_critic_latent_input:
                 # BC trains the policy head on the same input distribution
                 # RL uses: the latent-encoder path, on clean latents
-                actor_tokens, _ = self.latent_actor_inputs(latents0)
+                actor_tokens, _ = self.latent_actor_inputs(
+                    latents if multi_view else latents0)
             else:
                 actor_tokens = embeds.actor[:, :, agent_index]  # (b, t, d)
             policy_embed = self.policy_head(actor_tokens[:, :num_targets])

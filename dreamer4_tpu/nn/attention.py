@@ -238,6 +238,68 @@ class FeedForward(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name='proj_out')(x)
 
 
+class _StreamingPoolAttention(nn.Module):
+    """Single-query attention over a *list* of per-layer hiddens, computed
+    hidden-by-hidden so the (B, L, d) context stack is never materialized.
+
+    Equivalent math to `Attention(queries, context=stack(hiddens))` with
+    pre_rmsnorm + pre_context_rmsnorm + key RMSNorm + value gates (same
+    parameter tree, so checkpoints are interchangeable), but profiling the
+    b8xT32 train step showed the stacked form dominated device time with
+    layout copies of (b, t, s, L, d) tensors — ~65% of the step was
+    copy/transpose. Streaming keeps every intermediate at (B, heads*dim_head)
+    so XLA fuses norm+projection per hidden and no 5-D relayout exists."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    softclamp_value: float | None = 50.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, hiddens):
+        # x: (B, d); hiddens: list of (B, d)
+        from ..ops.utils import softclamp
+
+        dense = lambda feats, name: nn.Dense(feats, use_bias=False, dtype=self.dtype, name=name)
+
+        tn = RMSNorm(name='norm')(x)
+        q = dense(self.heads * self.dim_head, 'to_q')(tn)
+        q = q.reshape(-1, self.heads, self.dim_head)
+
+        norm_context = RMSNorm(name='norm_context')
+        to_k = dense(self.heads * self.dim_head, 'to_k')
+        to_v = dense(self.heads * self.dim_head, 'to_v')
+        k_norm = MultiHeadRMSNorm(self.dim_head, self.heads, name='k_norm')
+
+        keys, values = [], []
+        for h in hiddens:
+            c = norm_context(h)
+            k = to_k(c).reshape(-1, self.heads, self.dim_head)
+            k = k_norm(k[:, :, None, :])[:, :, 0, :]
+            keys.append(k)
+            values.append(to_v(c).reshape(-1, self.heads, self.dim_head))
+
+        # one batched score/output einsum over the stacked small k/v heads —
+        # per-hidden dot products would re-read q once per hidden (measured as
+        # hundreds of bandwidth-bound multiply-reduce ops per step)
+        k = jnp.stack(keys)                               # (L, B, h, dh)
+        v = jnp.stack(values)                             # (L, B, h, dh)
+        scale = self.dim_head ** -0.5
+        # scores and softmax in f32, matching naive_attend
+        sim = jnp.einsum('bhd,lbhd->bhl', q, k,
+                         preferred_element_type=jnp.float32) * scale
+        if self.softclamp_value is not None:
+            sim = softclamp(sim, self.softclamp_value)
+        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+        out = jnp.einsum('bhl,lbhd->bhd', attn, v)
+
+        gates = jax.nn.sigmoid(dense(self.heads, 'to_gates')(tn))
+        out = out * gates[..., None]
+        out = out.reshape(-1, self.heads * self.dim_head)
+        return dense(self.dim, 'to_out')(out)
+
+
 class AttentionPool(nn.Module):
     """Each token cross-attends over the stack of its own per-layer hiddens
     ('attention residuals', reference `dreamer4.py:2143-2177`)."""
@@ -250,24 +312,20 @@ class AttentionPool(nn.Module):
     @nn.compact
     def __call__(self, x, hiddens):
         # x: (..., d); hiddens: list of (..., d) with identical shapes
-        context = jnp.stack(hiddens, axis=-2)            # (..., L, d)
         lead_shape = x.shape[:-1]
-        queries = x.reshape(-1, 1, x.shape[-1])
-        context = context.reshape(-1, context.shape[-2], context.shape[-1])
-
-        out = Attention(
+        flat = lambda t: t.reshape(-1, t.shape[-1])
+        # remat: the stacked k/v heads are O(L * B * heads * dim_head) per
+        # pool — recompute them in the backward from the hiddens (which are
+        # live anyway) instead of keeping every pool's stacks resident
+        # (without this a T=1024 single-sequence train step OOMs a 16 GB chip)
+        pool_cls = nn.remat(_StreamingPoolAttention)
+        out = pool_cls(
             dim=self.dim,
             heads=self.heads,
             dim_head=self.dim_head,
-            gate_values=True,
-            value_residual=False,
-            belief_attn=False,
-            pre_rmsnorm=True,
-            pre_context_rmsnorm=True,
             dtype=self.dtype,
             name='attn',
-        )(queries, context=context).out
-
+        )(flat(x), [flat(h) for h in hiddens])
         return out.reshape(*lead_shape, x.shape[-1])
 
 

@@ -32,12 +32,14 @@ def apply_rotations(rotations: jax.Array, t: jax.Array) -> jax.Array:
         assert heads % rotations.shape[0] == 0
         rotations = jnp.repeat(rotations, heads // rotations.shape[0], axis=0)
 
-    dtype = t.dtype
-    t = t.astype(jnp.float32)
+    # angles/tables are f32; the elementwise multiply-add runs in the stream
+    # dtype so a bf16 attention path stays bf16 (upcasting here doubled the
+    # q/k traffic and left f32 slice/negate fusions in the backward)
+    cos = jnp.cos(rotations).astype(t.dtype)
+    sin = jnp.sin(rotations).astype(t.dtype)
 
     half = t.shape[-1] // 2
     x1, x2 = t[..., :half], t[..., half:]
     rotated_half = jnp.concatenate([-x2, x1], axis=-1)
 
-    out = t * jnp.cos(rotations) + rotated_half * jnp.sin(rotations)
-    return out.astype(dtype)
+    return t * cos + rotated_half * sin

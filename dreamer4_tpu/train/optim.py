@@ -20,27 +20,69 @@ import optax
 
 NS_COEFFS = (3.4445, -4.7750, 2.0315)
 
+# The Newton-Schulz iterates are Frobenius-normalized up front, so bf16 is
+# plenty of precision for the iteration itself (the official Muon runs NS in
+# bf16); it halves the optimizer's HBM traffic and keeps the matmuls on the
+# bf16 MXU path.
+NS_DTYPE = jnp.bfloat16
 
-def newton_schulz_orthogonalize(g: jax.Array, steps: int = 5, eps: float = 1e-7) -> jax.Array:
+
+def _ns_iterate(X: jax.Array, steps: int) -> jax.Array:
+    """Quintic NS body shared by the single and batched paths. X: (..., m, n)
+    with m <= n, rows Frobenius-normalized per matrix."""
+    a, b, c = NS_COEFFS
+
+    def body(_, X):
+        A = X @ X.swapaxes(-1, -2)
+        B = b * A + c * (A @ A)
+        return a * X + B @ X
+
+    return jax.lax.fori_loop(0, steps, body, X)
+
+
+def newton_schulz_orthogonalize(g: jax.Array, steps: int = 5, eps: float = 1e-7,
+                                ns_dtype=NS_DTYPE) -> jax.Array:
     """Quintic Newton-Schulz iteration producing an approximate orthogonal
     factor of g (Jordan et al; matches the reference dependency's scheme)."""
     assert g.ndim == 2
-    a, b, c = NS_COEFFS
     X = g.astype(jnp.float32)
     transposed = X.shape[0] > X.shape[1]
     if transposed:
         X = X.T
-    X = X / (jnp.linalg.norm(X) + eps)
-
-    def body(_, X):
-        A = X @ X.T
-        B = b * A + c * (A @ A)
-        return a * X + B @ X
-
-    X = jax.lax.fori_loop(0, steps, body, X)
+    X = (X / (jnp.linalg.norm(X) + eps)).astype(ns_dtype)
+    X = _ns_iterate(X, steps)
     if transposed:
         X = X.T
     return X.astype(g.dtype)
+
+
+def _batched_orthogonalize(leaves: list, steps: int, eps: float, ns_dtype=NS_DTYPE) -> list:
+    """Orthogonalize a list of 2-D arrays, batching the NS iteration across
+    same-shaped weights. A 57M-param trunk has ~50 muon weights in only a
+    handful of distinct shapes; per-weight `fori_loop`s produced ~750 tiny
+    sequential matmuls (measured ~10 ms/step of pure dispatch/op overhead on
+    a v5e), while batching runs 15 batched matmuls per shape group."""
+    # normalize orientation (m <= n) and bucket by resulting shape
+    groups: dict[tuple, list[int]] = {}
+    oriented = []
+    for i, g in enumerate(leaves):
+        transposed = g.shape[0] > g.shape[1]
+        X = g.T if transposed else g
+        oriented.append((X, transposed))
+        groups.setdefault(X.shape, []).append(i)
+
+    out: list = [None] * len(leaves)
+    for shape, idxs in groups.items():
+        X = jnp.stack([oriented[i][0] for i in idxs]).astype(jnp.float32)  # (k, m, n)
+        norm = jnp.sqrt(jnp.sum(jnp.square(X), axis=(-2, -1), keepdims=True))
+        X = (X / (norm + eps)).astype(ns_dtype)
+        X = _ns_iterate(X, steps)
+        for pos, i in enumerate(idxs):
+            o = X[pos]
+            if oriented[i][1]:
+                o = o.T
+            out[i] = o.astype(leaves[i].dtype)
+    return out
 
 
 class MuonState(NamedTuple):
@@ -58,15 +100,18 @@ def muon(learning_rate: float = 0.02, momentum: float = 0.95, nesterov: bool = T
         use = (jax.tree.map(lambda m, g: momentum * m + g, new_momentum, updates)
                if nesterov else new_momentum)
 
-        def orth(u):
-            if u.ndim != 2:
-                return u  # safety; labeler should route non-2D elsewhere
-            o = newton_schulz_orthogonalize(u, steps=ns_steps)
+        # batch the NS iteration across same-shaped weights (one stacked
+        # 5-step iteration per distinct shape instead of one per weight)
+        leaves, treedef = jax.tree_util.tree_flatten(use)
+        two_d = [i for i, u in enumerate(leaves) if u.ndim == 2]
+        orthed = _batched_orthogonalize([leaves[i] for i in two_d], ns_steps, 1e-7)
+        new_leaves = [-learning_rate * u for u in leaves]  # non-2D safety path
+        for i, o in zip(two_d, orthed):
+            u = leaves[i]
             # scale so update RMS matches adam-style magnitudes
             scale = jnp.sqrt(jnp.maximum(1.0, u.shape[0] / u.shape[1]))
-            return o * scale
-
-        new_updates = jax.tree.map(lambda u: -learning_rate * orth(u), use)
+            new_leaves[i] = -learning_rate * scale * o
+        new_updates = jax.tree_util.tree_unflatten(treedef, new_leaves)
         return new_updates, MuonState(momentum=new_momentum)
 
     return optax.GradientTransformation(init_fn, update_fn)

@@ -133,6 +133,10 @@ def make_world_model_train_step(model: DynamicsWorldModel, tx, ema_decay: float 
     teacher_layer=int, weight=float) — head params live under the reserved
     'self_flow_head' key of the param tree."""
 
+    # NOTE: the TrainState is deliberately NOT donated — ema_params aliases
+    # params at init and several callers (dream/sim trainers, examples) hold
+    # references across steps; donation broke both (buffer-donated-twice /
+    # deleted-array errors).
     @partial(jax.jit, static_argnames=('shortcut_train',))
     def train_step(ts: TrainState, batch: dict, key, shortcut_train: bool):
         def loss_fn(params):

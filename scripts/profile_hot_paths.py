@@ -100,6 +100,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('--what', choices=('generate', 'train', 'both'), default='both')
     p.add_argument('--batch', type=int, default=256)
+    p.add_argument('--train-batch', type=int, default=8)
+    p.add_argument('--train-time', type=int, default=32)
     p.add_argument('--out', type=str, default='/tmp/jax_profiles')
     args = p.parse_args()
 
@@ -136,10 +138,11 @@ def main():
                         opt_state=opt_state, ema_params=None,
                         step=jnp.zeros((), jnp.int32))
         step = make_world_model_train_step(model, tx)
+        tb, tt = args.train_batch, args.train_time
         batch = jax.device_put(dict(
-            latents=jax.random.normal(jax.random.PRNGKey(2), (8, 32, 16, 32)) * 0.5,
-            rewards=jnp.zeros((8, 32)),
-            discrete_actions=jnp.zeros((8, 32, 1), jnp.int32)), jax.devices()[0])
+            latents=jax.random.normal(jax.random.PRNGKey(2), (tb, tt, 16, 32)) * 0.5,
+            rewards=jnp.zeros((tb, tt)),
+            discrete_actions=jnp.zeros((tb, tt, 1), jnp.int32)), jax.devices()[0])
         ts, loss, _ = step(ts, batch, jax.random.PRNGKey(3), shortcut_train=False)
         print('warmup loss:', float(loss), flush=True)
         d = os.path.join(args.out, 'train')
@@ -149,7 +152,7 @@ def main():
         loss = float(loss)
         wall = time.perf_counter() - t0
         jax.profiler.stop_trace()
-        print(f'== train step b8 T32: wall {wall*1e3:.1f} ms (loss {loss:.3f})',
+        print(f'== train step b{tb} T{tt}: wall {wall*1e3:.1f} ms (loss {loss:.3f})',
               flush=True)
         summarize_trace(d)
 

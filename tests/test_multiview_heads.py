@@ -1,0 +1,100 @@
+"""Multi-view heads: per-view state prediction and view-pooled actor/critic
+latent inputs (lifts the single-view restriction; reference runs these heads
+only single-view — `dreamer4.py:4855-4872`)."""
+import jax
+import jax.numpy as jnp
+
+from dreamer4_tpu.models.generate import generate
+from dreamer4_tpu.models.world_model import DynamicsWorldModel
+
+B, T, V, N, DL = 2, 3, 2, 4, 8
+
+
+def make_model(**kwargs):
+    defaults = dict(
+        dim=16,
+        dim_latent=DL,
+        num_latent_tokens=N,
+        num_video_views=V,
+        max_steps=16,
+        depth=1,
+        time_block_every=1,
+        num_spatial_tokens=N,
+        num_discrete_actions=(4,),
+        attn_dim_head=8,
+        attn_heads=2,
+        multi_token_pred_len=2,
+        num_register_tokens=2,
+        predict_terminals=True,
+    )
+    defaults.update(kwargs)
+    return DynamicsWorldModel(**defaults)
+
+
+def init_model(model):
+    latents = jnp.zeros((B, T, V, N, DL))
+    rngs = {'params': jax.random.PRNGKey(0), 'sample': jax.random.PRNGKey(1)}
+    return model.init(rngs, latents=latents, latent_has_view_dim=True,
+                      shortcut_train=False,
+                      rewards=jnp.zeros((B, T)), terminals=jnp.zeros((B,), bool),
+                      discrete_actions=jnp.zeros((B, T - 1, 1), jnp.int32))
+
+
+def test_multiview_state_pred_heads():
+    """Per-view state heads: pred.state carries a view axis; both Beta-NLL
+    state losses are finite and the loss depends on every view's target."""
+    model = make_model(add_state_pred_head=True, state_pred_loss_weight=1.0,
+                      agent_predicts_state=True)
+    variables = init_model(model)
+
+    latents = jnp.clip(jax.random.normal(jax.random.PRNGKey(2), (B, T, V, N, DL)) * 0.3,
+                       -0.9, 0.9)
+    kwargs = dict(latents=latents, latent_has_view_dim=True, shortcut_train=False,
+                  rewards=jnp.zeros((B, T)), terminals=jnp.zeros((B,), bool),
+                  discrete_actions=jnp.zeros((B, T - 1, 1), jnp.int32))
+    (loss, losses, _), _ = model.apply(
+        variables, return_intermediates=True, mutable=['state'],
+        rngs={'sample': jax.random.PRNGKey(3)}, **kwargs)
+    assert jnp.isfinite(loss)
+    assert jnp.isfinite(losses.state_pred) and float(losses.state_pred) != 0.0
+    assert jnp.isfinite(losses.agent_state_pred)
+
+    # pred.state has a view axis in the multi-view model
+    signal = jnp.full((B, T), model.max_steps - 1, jnp.int32)
+    step = jnp.zeros((B,), jnp.int32)
+    pred = model.apply(variables, latents=latents, latent_has_view_dim=True,
+                       signal_levels=signal, step_sizes_log2=step,
+                       return_pred_only=True,
+                       rngs={'sample': jax.random.PRNGKey(4)})
+    assert pred.state.shape == (B, T, V, N, DL, 2)
+
+    # perturbing only view 1's target changes the state loss
+    latents_v1 = latents.at[:, :, 1].add(0.3)
+    (_, losses2, _), _ = model.apply(
+        variables, return_intermediates=True, mutable=['state'],
+        rngs={'sample': jax.random.PRNGKey(3)},
+        **{**kwargs, 'latents': latents_v1})
+    assert float(jnp.abs(losses2.state_pred - losses.state_pred)) > 1e-6
+
+
+def test_multiview_actor_critic_latent_input():
+    """View-pooled latent encoders feed the policy/value heads; a dream
+    rollout runs end-to-end with actor_critic_latent_input on 2 views."""
+    model = make_model(actor_critic_latent_input=True)
+    variables = init_model(model)
+
+    latents = jax.random.normal(jax.random.PRNGKey(5), (B, V, N, DL))
+    a, c = model.apply(variables, latents,
+                       method=lambda m, l: m.latent_actor_inputs(l))
+    assert a.shape == (B, model.dim) and c.shape == (B, model.dim)
+
+    # the pooled input depends on both views
+    a2, _ = model.apply(variables, latents.at[:, 1].add(1.0),
+                        method=lambda m, l: m.latent_actor_inputs(l))
+    assert float(jnp.abs(a2 - a).max()) > 1e-6
+
+    exp = generate(model, variables, jax.random.PRNGKey(0),
+                   time_steps=4, num_steps=2, batch_size=B)
+    assert exp.latents.shape == (B, 4, V, N, DL)
+    assert jnp.isfinite(exp.latents).all()
+    assert exp.values is None or jnp.isfinite(exp.values).all()

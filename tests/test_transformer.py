@@ -166,3 +166,28 @@ def test_intermediates_shapes():
     assert interm.normed_time_inputs.shape[0] == 2    # 2 time layers
     assert interm.normed_space_inputs.shape[0] == 2   # 2 space layers
     assert len(interm.layer_hiddens) == 1 + 2 * 4
+
+
+def test_attention_pool_matches_stacked_attention():
+    """The streaming AttentionPool (per-hidden projections, batched score/out
+    einsums — no (B, L, d) context stack) is numerically identical to the
+    generic Attention module run over the stacked hiddens with the same
+    params (the two share a parameter tree by construction)."""
+    import jax.numpy as jnp
+
+    from dreamer4_tpu.nn.attention import Attention, AttentionPool
+
+    pool = AttentionPool(dim=64, heads=4, dim_head=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 5, 64))
+    hiddens = [jax.random.normal(jax.random.PRNGKey(i + 1), (2, 3, 5, 64))
+               for i in range(7)]
+    vs = pool.init(jax.random.PRNGKey(42), x, hiddens)
+    out_pool = pool.apply(vs, x, hiddens)
+
+    attn = Attention(dim=64, heads=4, dim_head=16, gate_values=True,
+                     value_residual=False, belief_attn=False,
+                     pre_rmsnorm=True, pre_context_rmsnorm=True)
+    ctx = jnp.stack(hiddens, axis=-2).reshape(-1, 7, 64)
+    out_ref = attn.apply({'params': vs['params']['attn']},
+                         x.reshape(-1, 1, 64), context=ctx).out.reshape(x.shape)
+    assert jnp.allclose(out_pool, out_ref, atol=1e-5)
