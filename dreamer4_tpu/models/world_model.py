@@ -191,6 +191,7 @@ class DynamicsWorldModel(nn.Module):
     latent_ar_sigreg_loss_weight: float = 0.05
     use_loss_normalization: bool = False
     use_flash_attention: bool = False
+    flash_min_scores: int = 128 * 128   # min q_len*k_len before the fused kernel engages
     time_attention_use_pope: bool = False
     use_time_rnn: bool = False
     mot_temporal: bool = False
@@ -410,6 +411,7 @@ class DynamicsWorldModel(nn.Module):
             num_special_tokens=num_special,
             final_norm=False,
             use_flash_attention=self.use_flash_attention,
+            flash_min_scores=self.flash_min_scores,
             time_attention_use_pope=self.time_attention_use_pope,
             rnn_time=self.use_time_rnn,
             mot_temporal=self.mot_temporal,

@@ -23,6 +23,8 @@ def main():
     p.add_argument('--iters', type=int, default=20)
     p.add_argument('--shortcut', action='store_true')
     p.add_argument('--cpu', action='store_true')
+    p.add_argument('--flash-min', type=int, default=None,
+                   help='override flash_min_scores (q_len*k_len gate)')
     args = p.parse_args()
 
     import jax
@@ -38,7 +40,8 @@ def main():
     from dreamer4_tpu.train.optim import muon_adam_atan2
     from dreamer4_tpu.train.trainers import TrainState, make_world_model_train_step
 
-    model = build_model()
+    overrides = {} if args.flash_min is None else dict(flash_min_scores=args.flash_min)
+    model = build_model(**overrides)
     tx = muon_adam_atan2(learning_rate=3e-4, clip_grad_norm=1.0)
     variables, opt_state = init_on_cpu(model, tx)
     n_params = sum(int(jnp.size(x)) for x in jax.tree_util.tree_leaves(variables['params']))
