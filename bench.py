@@ -388,7 +388,9 @@ def main():
         tok = VideoTokenizer(
             dim=512, dim_latent=32, patch_size=8, image_height=64, image_width=64,
             num_latent_tokens=16, encoder_depth=4, decoder_depth=4,
-            time_block_every=4, decoder_flow_steps=4)
+            time_block_every=4, decoder_flow_steps=4,
+            use_flash_attention=not FORCE_CPU,
+            dtype=jnp.float32 if FORCE_CPU else jnp.bfloat16)
         tb, tt = (2, 4) if FORCE_CPU else (8, 16)
         cpu = jax.devices('cpu')[0]
         with jax.default_device(cpu):
@@ -406,7 +408,10 @@ def main():
             lat = tok.apply(v, vid, return_latents=True, rngs={'sample': key})
             return jnp.sum(lat)
 
-        per, _ = timed_scan(encode, (tok_vars, video), 'tokenizer encode', iters=ITERS)
+        # encode is sub-ms: chain 10x more iterations so the measurement
+        # clears the ~30 ms fetch-latency noise floor
+        per, _ = timed_scan(encode, (tok_vars, video), 'tokenizer encode',
+                            iters=ITERS * 10)
         extra[f'tokenizer_encode_b{tb}_T{tt}'] = {
             'ms': round(per * 1e3, 2), 'frames_per_s': round(tb * tt / per, 1)}
 
@@ -421,6 +426,42 @@ def main():
             'ms': round(per * 1e3, 2), 'frames_per_s': round(tb * tt / per, 1)}
     except Exception as e:
         log(f'tokenizer bench failed: {e}')
+
+    # ---- tokenizer training step (the CLI's default 100k-step workload)
+    try:
+        from dreamer4_tpu.train.trainers import make_tokenizer_train_step
+
+        tok_tx = muon_adam_atan2(learning_rate=3e-4, clip_grad_norm=1.0)
+        with jax.default_device(jax.devices('cpu')[0]):
+            tok_opt_state = jax.jit(tok_tx.init)(tok_vars['params'])
+            jax.block_until_ready(tok_opt_state)
+        tok_opt_state = jax.device_put(tok_opt_state, jax.devices()[0])
+        tok_ts = TrainState(params=tok_vars['params'],
+                            state=tok_vars.get('state', {}),
+                            opt_state=tok_opt_state, ema_params=None,
+                            step=jnp.zeros((), jnp.int32))
+        tok_step = make_tokenizer_train_step(tok, tok_tx)
+
+        def chained_tok_train(ts0, vid, key):
+            def body(carry, k):
+                new_ts, loss, _ = tok_step(carry, vid, None, k)
+                return new_ts, loss
+            ts1, losses = jax.lax.scan(body, ts0, jax.random.split(key, 5))
+            return jnp.sum(losses)
+
+        jfn = jax.jit(chained_tok_train)
+        t0 = time.perf_counter()
+        _ = float(jfn(tok_ts, video, jax.random.PRNGKey(11)))
+        log(f'tokenizer train-step: compile+first-run {time.perf_counter()-t0:.1f}s')
+        t0 = time.perf_counter()
+        _ = float(jfn(tok_ts, video, jax.random.PRNGKey(12)))
+        per = (time.perf_counter() - t0 - fetch_latency()) / 5
+        log(f'tokenizer train-step: {per*1e3:.1f}ms/step')
+        extra[f'tokenizer_train_step_b{tb}_T{tt}'] = {
+            'ms_per_step': round(per * 1e3, 2),
+            'frames_per_s': round(tb * tt / per, 1)}
+    except Exception as e:
+        log(f'tokenizer train bench failed: {e}')
 
     # ---- long-sequence training step (fused flash fwd+bwd on time attention)
     try:

@@ -268,8 +268,12 @@ def generate(
             actor_src = one_agent_embed
             critic_src = one_agent_embed
             if model.actor_critic_latent_input:
+                # multi-view models pass (b, v, n, d) — the encoders run per
+                # view and mean-pool; single-view keeps the squeezed (b, n, d)
+                lat_in = (denoised[:, 0] if model.num_video_views > 1
+                          else denoised[:, 0, 0])
                 actor_src, critic_src = model.apply(
-                    variables, denoised[:, 0, 0],
+                    variables, lat_in,
                     method=lambda m, l: m.latent_actor_inputs(l))
             policy_embed = model.apply(variables, actor_src,
                                        method=lambda m, e: m.policy_head(e))

@@ -98,3 +98,8 @@ def test_multiview_actor_critic_latent_input():
     assert exp.latents.shape == (B, 4, V, N, DL)
     assert jnp.isfinite(exp.latents).all()
     assert exp.values is None or jnp.isfinite(exp.values).all()
+    # the policy input is per-batch-element (a wrong pooling axis would
+    # collapse the batch): log-probs must differ across the batch somewhere
+    if exp.log_probs is not None and exp.log_probs.discrete is not None:
+        lp = exp.log_probs.discrete
+        assert float(jnp.abs(lp[0] - lp[1]).max()) > 1e-6
