@@ -405,6 +405,10 @@ def main():
             jax.devices()[0])
 
         def encode(v, vid, key):
+            # eval-mode encode is deterministic — without a key-dependent
+            # input XLA hoists the whole body out of the timing scan and the
+            # measurement reads ~0
+            vid = vid + jax.random.uniform(key, (), minval=0.0, maxval=1e-6)
             lat = tok.apply(v, vid, return_latents=True, rngs={'sample': key})
             return jnp.sum(lat)
 
@@ -416,6 +420,7 @@ def main():
             'ms': round(per * 1e3, 2), 'frames_per_s': round(tb * tt / per, 1)}
 
         def decode(v, vid, key):
+            vid = vid + jax.random.uniform(key, (), minval=0.0, maxval=1e-6)
             lat = tok.apply(v, vid, return_latents=True, rngs={'sample': key})
             out = tok.apply(v, lat, method=tok.decode, rngs={'sample': key})
             return jnp.sum(out)
@@ -478,6 +483,69 @@ def main():
         extra[f'train_step_b{LONGSEQ_BATCH}_T{LONGSEQ_T}'] = entry
     except Exception as e:
         log(f'long-seq bench failed: {e}')
+
+    # ---- production-scale model on one chip (dim 1024, depth 12, ~250M):
+    # bigger matmuls amortize the small-op/layout overhead that bounds the
+    # reference-scale (57M) step — the scaling-up data point
+    if not FORCE_CPU:
+        try:
+            big = build_model(dim=1024, depth=12, num_latent_tokens=32,
+                              num_spatial_tokens=32, dim_latent=32,
+                              attn_heads=16)
+            big_variables, big_opt_state = init_on_cpu(big, tx)
+            big_n = param_count(big_variables)
+            log(f'big model: {big_n/1e6:.0f}M params')
+            big_serve = cast_params_for_inference(big_variables, jnp.bfloat16)
+
+            def big_rollout(key):
+                exp = generate(big, big_serve, key, time_steps=TIME_STEPS,
+                               num_steps=NUM_STEPS, batch_size=HEADLINE_BATCH)
+                return jnp.sum(exp.latents) + jnp.sum(exp.rewards)
+
+            per, _ = timed_scan(big_rollout, (), f'big generate b{HEADLINE_BATCH}',
+                                iters=ITERS)
+            extra[f'big250M_generate_batch{HEADLINE_BATCH}_T{TIME_STEPS}'] = {
+                'env_steps_per_s': round(HEADLINE_BATCH * TIME_STEPS / per, 1),
+                'ms_per_rollout': round(per * 1e3, 2),
+                'mfu_pct': round(100 * analytic_generate_flops(big, big_n, HEADLINE_BATCH)
+                                 / per / V5E_BF16_PEAK_FLOPS, 2)}
+
+            big_step = make_world_model_train_step(big, tx)
+            big_ts = TrainState(params=big_variables['params'],
+                                state=big_variables.get('state', {}),
+                                opt_state=big_opt_state, ema_params=None,
+                                step=jnp.zeros((), jnp.int32))
+            bb, bt = 4, 32
+            big_batch = jax.device_put(dict(
+                latents=jax.random.normal(
+                    jax.random.PRNGKey(21),
+                    (bb, bt, big.num_latent_tokens, big.dim_latent)) * 0.5,
+                rewards=jnp.zeros((bb, bt)),
+                discrete_actions=jnp.zeros((bb, bt, 1), jnp.int32)),
+                jax.devices()[0])
+
+            def big_chained(ts0, b, key):
+                def body(carry, k):
+                    new_ts, loss, _ = big_step(carry, b, k, shortcut_train=False)
+                    return new_ts, loss
+                ts1, losses = jax.lax.scan(body, ts0, jax.random.split(key, 5))
+                return jnp.sum(losses)
+
+            jfn = jax.jit(big_chained)
+            t0 = time.perf_counter()
+            _ = float(jfn(big_ts, big_batch, jax.random.PRNGKey(22)))
+            log(f'big train-step: compile+first-run {time.perf_counter()-t0:.1f}s')
+            t0 = time.perf_counter()
+            _ = float(jfn(big_ts, big_batch, jax.random.PRNGKey(23)))
+            per = (time.perf_counter() - t0 - fetch_latency()) / 5
+            log(f'big train-step: {per*1e3:.1f}ms/step')
+            extra[f'big250M_train_step_b{bb}_T{bt}'] = {
+                'ms_per_step': round(per * 1e3, 2),
+                'frames_per_s': round(bb * bt / per, 1),
+                'mfu_pct': round(100 * analytic_train_flops(big, big_n, bb, bt)
+                                 / per / V5E_BF16_PEAK_FLOPS, 2)}
+        except Exception as e:
+            log(f'big-model bench failed: {e}')
 
     out = {
         'metric': 'imagined_env_steps_per_s_per_chip',
