@@ -111,6 +111,26 @@ import jax.numpy as jnp
 REFERENCE_A100_ENV_STEPS_PER_S = 400.0
 V5E_BF16_PEAK_FLOPS = 197e12
 
+# Global wall-clock budget: the driver runs this script inside a finite
+# window, and a process killed mid-section prints NO json line at all (the
+# round-2 failure mode). The headline + core entries always run; each
+# *optional* section first checks that enough budget remains for its worst
+# observed compile+run time, and is skipped (with a log line) otherwise.
+_BENCH_T0 = time.time()
+BUDGET_S = float(os.environ.get('BENCH_BUDGET_S', '3000'))
+
+
+def _budget_left():
+    return BUDGET_S - (time.time() - _BENCH_T0)
+
+
+def _skip_low_budget(section: str, need_s: float) -> bool:
+    left = _budget_left()
+    if left < need_s:
+        _log(f'skipping {section}: {left:.0f}s budget left < {need_s:.0f}s needed')
+        return True
+    return False
+
 if FORCE_CPU:
     # Degraded smoke config: prove the pipeline end-to-end on the host CPU
     # and emit a labeled number; not comparable to the TPU headline.
@@ -383,6 +403,8 @@ def main():
 
     # ---- tokenizer encode/decode throughput (the other hot model)
     try:
+        if _skip_low_budget('tokenizer bench', 420):
+            raise TimeoutError('budget')
         from dreamer4_tpu.models.tokenizer import VideoTokenizer
 
         tok = VideoTokenizer(
@@ -434,6 +456,8 @@ def main():
 
     # ---- tokenizer training step (the CLI's default 100k-step workload)
     try:
+        if _skip_low_budget('tokenizer train bench', 300):
+            raise TimeoutError('budget')
         from dreamer4_tpu.train.trainers import make_tokenizer_train_step
 
         tok_tx = muon_adam_atan2(learning_rate=3e-4, clip_grad_norm=1.0)
@@ -470,6 +494,8 @@ def main():
 
     # ---- long-sequence training step (fused flash fwd+bwd on time attention)
     try:
+        if _skip_low_budget('long-seq bench', 420):
+            raise TimeoutError('budget')
         long_batch = jax.device_put(
             make_batch(LONGSEQ_BATCH, LONGSEQ_T, jax.random.PRNGKey(3)),
             jax.devices()[0])
@@ -489,6 +515,8 @@ def main():
     # reference-scale (57M) step — the scaling-up data point
     if not FORCE_CPU:
         try:
+            if _skip_low_budget('big-model bench', 600):
+                raise TimeoutError('budget')
             big = build_model(dim=1024, depth=12, num_latent_tokens=32,
                               num_spatial_tokens=32, dim_latent=32,
                               attn_heads=16)
@@ -510,6 +538,8 @@ def main():
                 'mfu_pct': round(100 * analytic_generate_flops(big, big_n, HEADLINE_BATCH)
                                  / per / V5E_BF16_PEAK_FLOPS, 2)}
 
+            if _skip_low_budget('big-model train bench', 420):
+                raise TimeoutError('budget')  # keeps the generate entry above
             big_step = make_world_model_train_step(big, tx)
             big_ts = TrainState(params=big_variables['params'],
                                 state=big_variables.get('state', {}),
