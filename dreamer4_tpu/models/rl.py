@@ -63,6 +63,7 @@ def rl_losses(
     encode_video_fn: Any = None,
     encoder_params: Any = None,
     soft_continuation: bool = True,
+    latent_input_full_model_ok: bool = False,
     eps: float = 1e-6,
 ) -> RLLossOutputs:
     """Policy/value losses from an Experience.
@@ -84,6 +85,24 @@ def rl_losses(
     were trained with (constant-reward tasks NEED the soft signal).
     """
     assert objective in ('ppo', 'pmpo', 'spo')
+    if not only_learn_policy_value_heads and model.actor_critic_latent_input:
+        # With latent-input heads, the sampling-time policy/value read
+        # `latent_actor_inputs(latents)` — the trunk is NOT in the policy
+        # parameterization, so "full-model RL" cannot give it gradients here
+        # (re-forwarding it would burn compute without changing the learned
+        # distribution; the reference has no such flag and always re-forwards,
+        # `dreamer4.py:6045-6070`). What CAN train in this mode: the latent
+        # encoders, the heads, and — via `encode_video_fn` — the image
+        # encoders. Require the caller to acknowledge those semantics instead
+        # of silently training less than "full model" promises.
+        if not latent_input_full_model_ok:
+            raise ValueError(
+                'only_learn_policy_value_heads=False with '
+                'actor_critic_latent_input=True trains heads + latent/image '
+                'encoders but can never give the trunk RL gradients (the '
+                'heads do not read trunk embeds in this mode). Pass '
+                'latent_input_full_model_ok=True to acknowledge, or use '
+                'only_learn_policy_value_heads=True.')
     use_delight_gating = use_delight_gating if use_delight_gating is not None else model.use_delight_gating
     delight_temperature = delight_temperature if delight_temperature is not None else model.delight_temperature
 

@@ -1,0 +1,244 @@
+"""Snake-4x4 collector trained by the framework's OWN RL (no script).
+
+The reference trains an SB3 PPO policy on raw Snake pixels to
+`target_apples = 5.0` per episode and then fills replay buffers with its
+rollouts (`/root/reference/train_snake_ppo.py:272, 186-253`). The scripted
+greedy collector in `train_snake_ppo.py` matches the data contract; this
+example closes the remaining parity point: the collection policy itself is
+LEARNED, through `SimTrainer` (interact -> PPO) on the flattened grid
+observation, with the reference's sparse reward (+1 per apple only).
+
+Phase 1: online RL until the 20-episode average apples/episode >= the gate.
+Phase 2: the learned policy fills a ReplayBuffer with (video, rewards,
+         terminated, discrete_actions) episodes — the same schema the
+         tokenizer/dynamics recipe consumes.
+
+Usage: python examples/train_snake_rl_collector.py --buffer ./data/snake_buffer_rl
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from dreamer4_tpu.envs.snake import SnakeEnv
+
+T0 = time.time()
+
+
+def log(msg):
+    print(f'[{time.time() - T0:6.0f}s] {msg}', flush=True)
+
+
+class SnakeVectorAdapter:
+    """N parallel SnakeEnvs as one batched env. Observation = the grid-scale
+    render flattened to a state vector (the reference's SB3 policy also reads
+    the raw grid image, `train_snake_ppo.py:58`); 2x-scale frames are kept in
+    a side buffer for the collection phase's video field."""
+
+    def __init__(self, n_envs=16, grid_size=4, max_steps=20, seed=0, record=False):
+        self.envs = [SnakeEnv(grid_size=grid_size, max_steps=max_steps,
+                              image_size=grid_size, seed=seed + i)
+                     for i in range(n_envs)]
+        self.big = [SnakeEnv(grid_size=grid_size, max_steps=max_steps,
+                             image_size=2 * grid_size, seed=0)
+                    for _ in range(n_envs)] if record else None
+        self.n_envs = n_envs
+        self.grid_size = grid_size
+        self.max_steps = max_steps
+        self._seed = seed
+        self.record = record
+        self.frame_log: list[np.ndarray] = []
+
+    @property
+    def dim_state(self):
+        return 3 * self.grid_size * self.grid_size
+
+    def _state(self):
+        return np.stack([e.render().reshape(-1) for e in self.envs]).astype(np.float32)
+
+    def _snap(self):
+        if self.record:
+            # re-render each env at 2x for the stored video (same state,
+            # bigger canvas — SnakeEnv.render is a pure function of state)
+            frames = []
+            for e, b in zip(self.envs, self.big):
+                b.snake, b.direction, b.apple = list(e.snake), e.direction, e.apple
+                frames.append((b.render() * 255).astype(np.uint8))
+            self.frame_log.append(np.stack(frames))
+
+    def reset(self, seed=None):
+        base = seed if seed is not None else self._seed
+        self._seed += self.n_envs
+        for i, env in enumerate(self.envs):
+            env.reset(seed=base + i)
+        self._done = np.zeros((self.n_envs,), bool)
+        self.frame_log = []
+        self._snap()
+        return {'state': self._state()}, {}
+
+    def step(self, actions):
+        actions = np.asarray(actions).reshape(self.n_envs)
+        rewards = np.zeros((self.n_envs,), np.float32)
+        terminated = np.zeros((self.n_envs,), bool)
+        truncated = np.zeros((self.n_envs,), bool)
+        for i, env in enumerate(self.envs):
+            if self._done[i]:
+                terminated[i] = True
+                continue
+            _, r, term, trunc, _ = env.step(int(actions[i]))
+            rewards[i] = r
+            terminated[i] = term
+            truncated[i] = trunc
+            self._done[i] |= term or trunc
+        self._snap()
+        return {'state': self._state()}, rewards, terminated, truncated, {}
+
+    def take_frames(self) -> np.ndarray:
+        frames = np.stack(self.frame_log, axis=1)  # (n, steps+1, 3, H, W)
+        self.frame_log = []
+        return frames
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--buffer', type=str, default='./data/snake_buffer_rl')
+    p.add_argument('--grid-size', type=int, default=4)
+    p.add_argument('--max-steps', type=int, default=20)
+    p.add_argument('--target-apples', type=float, default=5.0)
+    p.add_argument('--max-iterations', type=int, default=600)
+    p.add_argument('--n-envs', type=int, default=16)
+    p.add_argument('--num-episodes', type=int, default=200,
+                   help='episodes to collect after the gate')
+    p.add_argument('--policy-lr', type=float, default=3e-4)
+    p.add_argument('--value-lr', type=float, default=3e-4)
+    p.add_argument('--dynamics-lr', type=float, default=1e-4)
+    p.add_argument('--update-epochs', type=int, default=4)
+    p.add_argument('--entropy-weight', type=float, default=0.01)
+    p.add_argument('--window', type=int, default=20)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--checkpoint', type=str, default='',
+                   help='save/reuse the trained collector policy here')
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update('jax_platforms', 'cpu')  # env interaction is host-bound
+    jax.config.update('jax_compilation_cache_dir', '/root/runs/jax_cache_local')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    import jax.numpy as jnp
+
+    from dreamer4_tpu.data.replay_buffer import ReplayBuffer
+    from dreamer4_tpu.envs.interact import EnvInteractor
+    from dreamer4_tpu.models.world_model import DynamicsWorldModel
+    from dreamer4_tpu.train.checkpoint import load_model, save_model
+    from dreamer4_tpu.train.trainers import SimTrainer
+
+    env = SnakeVectorAdapter(n_envs=args.n_envs, grid_size=args.grid_size,
+                             max_steps=args.max_steps, seed=args.seed)
+
+    model = DynamicsWorldModel(
+        dim=64, dim_latent=16, num_latent_tokens=4, num_spatial_tokens=4,
+        max_steps=16, depth=2, time_block_every=2, attn_heads=4,
+        attn_dim_head=16, num_discrete_actions=(4,), multi_token_pred_len=4,
+        num_register_tokens=4, dim_state=env.dim_state,
+        dim_critic_state=env.dim_state, predict_terminals=True,
+        policy_entropy_weight=args.entropy_weight, keep_reward_ema_stats=True,
+        reward_range=(-2.0, 2.0 + args.max_steps))
+
+    ckpt_dir = Path(args.checkpoint) if args.checkpoint else None
+    if ckpt_dir is not None and (ckpt_dir / 'config.json').exists():
+        model, variables = load_model(ckpt_dir, DynamicsWorldModel)
+        log(f'[rl] loaded collector policy from {ckpt_dir}')
+    else:
+        latents = jnp.zeros((1, 4, 4, 16))
+        rngs = {'params': jax.random.PRNGKey(args.seed),
+                'sample': jax.random.PRNGKey(args.seed + 1)}
+        variables = model.init(rngs, latents=latents, shortcut_train=False,
+                               rewards=jnp.zeros((1, 4)),
+                               terminals=jnp.zeros((1,), bool),
+                               discrete_actions=jnp.zeros((1, 3, 1), jnp.int32))
+
+        trainer = SimTrainer(model, variables, env, objective='ppo',
+                             policy_lr=args.policy_lr, value_lr=args.value_lr,
+                             num_steps=4, max_timesteps=args.max_steps,
+                             update_epochs=args.update_epochs,
+                             dynamics_lr=args.dynamics_lr)
+
+        key = jax.random.PRNGKey(args.seed)
+        apples: list[float] = []
+        solved = False
+        for it in range(args.max_iterations):
+            experience, _ = trainer.step(jax.random.fold_in(key, it))
+            apples.extend(np.asarray(experience.episode_return).tolist())
+            window = apples[-args.window:]
+            avg = float(np.mean(window))
+            if it % 10 == 0:
+                log(f'[rl] iter {it}: apples/episode (last {len(window)}) = {avg:.2f}')
+            if len(window) >= args.window and avg >= args.target_apples:
+                log(f'[rl] GATE REACHED at iteration {it}: apples/episode '
+                    f'{avg:.2f} >= {args.target_apples} (learned policy, '
+                    f'sparse +1-per-apple reward)')
+                solved = True
+                break
+        variables = trainer.variables
+        if ckpt_dir is not None:
+            save_model(ckpt_dir, model, variables)
+            log(f'[rl] saved collector policy to {ckpt_dir}')
+        if not solved:
+            log(f'[rl] gate NOT reached: final avg '
+                f'{float(np.mean(apples[-args.window:])):.2f}')
+            return 1
+
+    # ---------------------------------------------------- collection phase
+    h = 2 * args.grid_size
+    buffer = ReplayBuffer(
+        args.buffer, max_episodes=args.num_episodes,
+        max_timesteps=args.max_steps + 1,
+        fields=dict(video=('uint8', (3, h, h)), rewards='float',
+                    terminated='bool', discrete_actions='int'))
+
+    record_env = SnakeVectorAdapter(n_envs=args.n_envs, grid_size=args.grid_size,
+                                    max_steps=args.max_steps,
+                                    seed=args.seed + 10_000, record=True)
+    interactor = EnvInteractor(model)
+    collected, apple_counts = 0, []
+    key = jax.random.PRNGKey(args.seed + 77)
+    batch_idx = 0
+    while collected < args.num_episodes:
+        exp = interactor(variables, record_env, jax.random.fold_in(key, batch_idx),
+                         num_steps=4, max_timesteps=args.max_steps)
+        frames = record_env.take_frames()
+        lens = np.asarray(exp.lens)
+        terminals = np.asarray(exp.terminals)
+        acts = np.asarray(exp.actions.discrete)
+        rews = np.asarray(exp.rewards)
+        batch_idx += 1
+        for row in range(frames.shape[0]):
+            if collected >= args.num_episodes:
+                break
+            n = int(lens[row])
+            with buffer.one_episode():
+                for t in range(n):
+                    buffer.store(
+                        video=frames[row, t],
+                        rewards=float(rews[row, t]),
+                        terminated=bool(terminals[row]) and t == n - 1,
+                        discrete_actions=int(acts[row, t, 0]))
+            collected += 1
+            apple_counts.append(float(rews[row, :n].sum()))
+
+    mean_apples = float(np.mean(apple_counts))
+    log(f'collected {len(buffer)} episodes with the LEARNED policy, '
+        f'mean apples/episode = {mean_apples:.2f} (gate: {args.target_apples})')
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
