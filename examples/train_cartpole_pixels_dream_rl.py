@@ -190,6 +190,13 @@ def main(argv=None):
     p.add_argument('--window', type=int, default=3)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--cpu', action='store_true', help='run every phase on CPU')
+    p.add_argument('--env-device', choices=('cpu', 'accel'), default='cpu',
+                   help='device for the env-stepping phases (1, 2, 6). The '
+                        'default keeps them on the host CPU; "accel" runs the '
+                        'per-frame policy steps on the accelerator (slower '
+                        'per step over this tunnel, but reproduces the '
+                        'committed online-gate trajectories, which were '
+                        'measured on the TPU backend)')
     p.add_argument('--stop-after', choices=('expert', 'dataset', 'tokenizer',
                                             'tokenize', 'wm'), default=None,
                    help='exit after this phase (stage the pipeline across '
@@ -235,6 +242,8 @@ def main(argv=None):
 
     cpu0 = jax.devices('cpu')[0]
     accel = jax.devices()[0]  # TPU under axon, else CPU
+    if args.env_device == 'accel':
+        cpu0 = accel
     log(f'devices: env/RL phases on {cpu0}, training phases on {accel}')
 
     work = Path(args.workdir)

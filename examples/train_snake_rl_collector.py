@@ -118,6 +118,9 @@ def main(argv=None):
     p.add_argument('--policy-lr', type=float, default=3e-4)
     p.add_argument('--value-lr', type=float, default=3e-4)
     p.add_argument('--dynamics-lr', type=float, default=1e-4)
+    p.add_argument('--rollouts-per-step', type=int, default=1,
+                   help='env batches per PPO update — sparse-reward Snake '
+                        'needs more transitions per update than CartPole')
     p.add_argument('--update-epochs', type=int, default=4)
     p.add_argument('--entropy-weight', type=float, default=0.01)
     p.add_argument('--window', type=int, default=20)
@@ -168,6 +171,7 @@ def main(argv=None):
         trainer = SimTrainer(model, variables, env, objective='ppo',
                              policy_lr=args.policy_lr, value_lr=args.value_lr,
                              num_steps=4, max_timesteps=args.max_steps,
+                             num_rollouts_per_step=args.rollouts_per_step,
                              update_epochs=args.update_epochs,
                              dynamics_lr=args.dynamics_lr)
 
@@ -188,13 +192,13 @@ def main(argv=None):
                 solved = True
                 break
         variables = trainer.variables
-        if ckpt_dir is not None:
-            save_model(ckpt_dir, model, variables)
-            log(f'[rl] saved collector policy to {ckpt_dir}')
         if not solved:
             log(f'[rl] gate NOT reached: final avg '
                 f'{float(np.mean(apples[-args.window:])):.2f}')
             return 1
+        if ckpt_dir is not None:  # only a gate-passing policy is worth keeping
+            save_model(ckpt_dir, model, variables)
+            log(f'[rl] saved collector policy to {ckpt_dir}')
 
     # ---------------------------------------------------- collection phase
     h = 2 * args.grid_size
