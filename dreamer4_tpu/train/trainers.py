@@ -343,11 +343,19 @@ class SimTrainer:
     def __init__(self, model: DynamicsWorldModel, variables, env, *,
                  tokenizer=None, tokenizer_variables=None,
                  objective: str = 'ppo', policy_lr: float = 1e-4, value_lr: float = 1e-4,
+                 rl_trunk_lr: float | None = None,
                  num_steps: int = 4, max_timesteps: int = 16,
                  num_rollouts_per_step: int = 1, update_epochs: int = 2,
                  minibatch_size: int | None = None,
                  train_dynamics: bool = True, dynamics_lr: float = 3e-4,
                  dynamics_epochs: int = 1, seed: int = 0):
+        """`rl_trunk_lr` switches to full-model RL: the policy/value losses
+        re-forward the trunk with gradients and a third optimizer group
+        fine-tunes it at that rate (the reference's image-mode agent trains
+        its encoder features directly from the PPO signal,
+        `train_cartpole_with_dynamics_rl.py:379-403`; heads-only RL leaves
+        trunk features to the dynamics loss alone, which is too weak a
+        signal for sparse-reward tasks)."""
         from ..envs.interact import EnvInteractor
 
         self.model = model
@@ -361,12 +369,15 @@ class SimTrainer:
 
         params = variables['params']
         self.state_collection = variables.get('state', {})
-        self.tx = make_rl_optimizer(model, policy_lr, value_lr)(params)
+        self.tx = make_rl_optimizer(model, policy_lr, value_lr,
+                                    trunk_lr=rl_trunk_lr)(params)
         self.rl_state = RLState(params=params, opt_state=self.tx.init(params),
                                 return_stats=ReturnStats.create(),
                                 step=jnp.zeros((), jnp.int32))
         self.interactor = EnvInteractor(model, tokenizer=tokenizer)
-        self._update = make_rl_update_step(model, self.tx, objective)
+        self._update = make_rl_update_step(
+            model, self.tx, objective,
+            only_learn_policy_value_heads=rl_trunk_lr is None)
 
         # interleaved world-model learning on collected experience (the
         # reference cartpole recipe trains the dynamics alongside RL so the

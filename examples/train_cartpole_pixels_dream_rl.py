@@ -188,6 +188,17 @@ def main(argv=None):
     p.add_argument('--entropy-weight', type=float, default=0.001)
     p.add_argument('--eval-every', type=int, default=25)
     p.add_argument('--window', type=int, default=3)
+    # phase 7: iterated online rounds — the full Dreamer recipe. The offline
+    # dataset bounds what the world model knows; when the dream-trained
+    # policy plateaus at the dataset's support, collect fresh rollouts WITH
+    # the current policy (acting only — every policy-gradient update stays
+    # inside imagination), fine-tune the world model on the extended dataset,
+    # and keep dreaming (reference online loop,
+    # `train_cartpole_with_dynamics_rl.py:427-560`).
+    p.add_argument('--online-rounds', type=int, default=0)
+    p.add_argument('--online-collect-batches', type=int, default=8)
+    p.add_argument('--online-wm-steps', type=int, default=1500)
+    p.add_argument('--online-dream-updates', type=int, default=600)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--cpu', action='store_true', help='run every phase on CPU')
     p.add_argument('--env-device', choices=('cpu', 'accel'), default='cpu',
@@ -534,13 +545,27 @@ def main(argv=None):
         log('[stage] stop-after wm')
         return 0
 
-    # --------------------------------------------- 6. dream RL + eval (cpu)
+    # ------------------------------- 6 + 7. dream RL + eval (+online rounds)
+    def pad_item_t(x, t_axis=1):
+        p_ = T_fixed - x.shape[t_axis]
+        if p_ <= 0:
+            return np.asarray(x)[tuple(slice(None) if a != t_axis else slice(T_fixed)
+                                       for a in range(x.ndim))]
+        w = [(0, 0)] * x.ndim
+        w[t_axis] = (0, p_)
+        return np.pad(np.asarray(x), w)
+
+    fresh_items: list[dict] = []  # on-policy rounds, upweighted in fine-tuning
+
     with jax.default_device(cpu0):
         frozen_vars = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), frozen_vars)
         tok_ema_cpu = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), tok_ema_vars)
 
         def prompt_fn(key_):
-            it = items[rng.integers(n_items)]
+            # on-policy rounds are prompt-relevant: draw from them half the
+            # time once they exist
+            pool = (fresh_items if fresh_items and rng.random() < 0.5 else items)
+            it = pool[rng.integers(len(pool))]
             b = args.dream_batch
             ok = np.nonzero(it['lens'] >= args.prompt_len + 1)[0]
             if len(ok) == 0:
@@ -568,31 +593,110 @@ def main(argv=None):
                                         seed=args.seed + 9000)
         interactor = EnvInteractor(model, tokenizer=tokenizer)
 
-        eval_history: list[float] = []
-        dkey = jax.random.PRNGKey(args.seed + 31)
-        for u in range(args.dream_updates):
-            _, out = dream_trainer.step(jax.random.fold_in(dkey, u))
-            if (u + 1) % args.eval_every == 0:
-                exp = interactor(dream_trainer.variables, eval_env,
-                                 jax.random.fold_in(dkey, 10_000_000 + u),
+    eval_history: list[float] = []
+    dkey = jax.random.PRNGKey(args.seed + 31)
+    update_no = 0
+
+    def dream_phase(budget: int) -> bool:
+        nonlocal update_no
+        with jax.default_device(cpu0):
+            for _ in range(budget):
+                update_no += 1
+                _, out = dream_trainer.step(jax.random.fold_in(dkey, update_no))
+                if update_no % args.eval_every == 0:
+                    exp = interactor(dream_trainer.variables, eval_env,
+                                     jax.random.fold_in(dkey, 10_000_000 + update_no),
+                                     tokenizer_variables=tok_ema_cpu,
+                                     num_steps=args.num_denoise_steps,
+                                     max_timesteps=args.max_timesteps)
+                    ret = float(np.mean(np.asarray(exp.episode_return)))
+                    eval_history.append(ret)
+                    window = eval_history[-args.window:]
+                    avg = float(np.mean(window))
+                    log(f'[dream] update {update_no}: PIXEL eval return {ret:.1f} '
+                        f'(window {avg:.1f}) H {float(out.stats["entropy"]):.2f} '
+                        f'V {float(out.stats["mean_value"]):.1f}')
+                    (work / 'eval_history.json').write_text(json.dumps(eval_history))
+                    if len(window) >= args.window and avg >= args.target_return:
+                        log(f'SOLVED FROM PIXELS IN IMAGINATION after {update_no} '
+                            f'dream updates: eval return {avg:.1f} >= '
+                            f'{args.target_return} (zero real-env policy updates; '
+                            f'observations reach the policy only through the '
+                            f'VideoTokenizer)')
+                        return True
+        return False
+
+    if dream_phase(args.dream_updates):
+        return 0
+
+    # ---- phase 7: iterated rounds (policy acts in the real env to collect;
+    # ALL policy/value updates remain on imagined experience)
+    for rnd in range(1, args.online_rounds + 1):
+        with jax.default_device(cpu0):
+            collect_env = PixelCartPoleAdapter(
+                n_envs=args.n_envs, max_timesteps=args.max_timesteps,
+                seed=args.seed + 20_000 * rnd)
+            rets = []
+            for bi in range(args.online_collect_batches):
+                exp = interactor(dream_trainer.variables, collect_env,
+                                 jax.random.fold_in(dkey, 20_000_000 + 1000 * rnd + bi),
                                  tokenizer_variables=tok_ema_cpu,
                                  num_steps=args.num_denoise_steps,
                                  max_timesteps=args.max_timesteps)
-                ret = float(np.mean(np.asarray(exp.episode_return)))
-                eval_history.append(ret)
-                window = eval_history[-args.window:]
-                avg = float(np.mean(window))
-                log(f'[dream] update {u + 1}: PIXEL eval return {ret:.1f} '
-                    f'(window {avg:.1f}) H {float(out.stats["entropy"]):.2f} '
-                    f'V {float(out.stats["mean_value"]):.1f}')
-                (work / 'eval_history.json').write_text(json.dumps(eval_history))
-                if len(window) >= args.window and avg >= args.target_return:
-                    log(f'SOLVED FROM PIXELS IN IMAGINATION after {u + 1} '
-                        f'dream updates: eval return {avg:.1f} >= '
-                        f'{args.target_return} (zero real-env policy updates; '
-                        f'observations reach the policy only through the '
-                        f'VideoTokenizer)')
-                    return 0
+                # streaming tokenizer latents ARE the dataset latents (the
+                # parallel==streaming encode parity is tested)
+                fresh_items.append(dict(
+                    latents=pad_item_t(exp.latents),
+                    rewards=pad_item_t(exp.rewards),
+                    terminals=np.asarray(exp.terminals),
+                    discrete_actions=pad_item_t(exp.actions.discrete),
+                    lens=np.asarray(exp.lens)))
+                rets.extend(np.asarray(exp.episode_return).tolist())
+            log(f'[online {rnd}] collected {args.online_collect_batches * args.n_envs} '
+                f'episodes with the dream policy, avg return {np.mean(rets):.1f}')
+
+        # WM fine-tune on the extended dataset (accel), heads frozen; the
+        # trunk continues from its current weights
+        base_tx = muon_adam_atan2(learning_rate=args.wm_lr, clip_grad_norm=1.0)
+        ft_tx = optax.multi_transform(
+            {'frozen': base_tx, 'policy': optax.set_to_zero(),
+             'value': optax.set_to_zero()},
+            lambda params: rl_param_labels(params, model))
+        ft_step = make_world_model_train_step(model, ft_tx)
+        ft_params = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)),
+                                 dream_trainer.rl_state.params)
+        ft_state = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)),
+                                dream_trainer.state_collection)
+        ft_ts = TrainState(params=ft_params, state=ft_state,
+                           opt_state=ft_tx.init(ft_params),
+                           ema_params=None, step=jnp.zeros((), jnp.int32))
+
+        def sample_ft_batch():
+            pool = fresh_items if rng.random() < 0.5 else items
+            it = pool[rng.integers(len(pool))]
+            return dict(latents=jnp.asarray(it['latents']),
+                        rewards=jnp.asarray(it['rewards']),
+                        terminals=jnp.asarray(it['terminals']),
+                        discrete_actions=jnp.asarray(it['discrete_actions']),
+                        lens=jnp.asarray(it['lens']))
+
+        ft_key = jax.random.PRNGKey(args.seed + 900 + rnd)
+        for step in range(args.online_wm_steps):
+            ft_key, sub = jax.random.split(ft_key)
+            shortcut = bool(rng.random() < model.prob_shortcut_train)
+            ft_ts, ft_loss, _ = ft_step(ft_ts, sample_ft_batch(), sub,
+                                        shortcut_train=shortcut)
+            if step % 500 == 0 or step == args.online_wm_steps - 1:
+                log(f'[online {rnd}] wm fine-tune step {step}: loss {float(ft_loss):.3f}')
+
+        with jax.default_device(cpu0):
+            new_params = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), ft_ts.params)
+            new_state = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), ft_ts.state)
+            dream_trainer.rl_state = dream_trainer.rl_state._replace(params=new_params)
+            dream_trainer.state_collection = new_state
+
+        if dream_phase(args.online_dream_updates):
+            return 0
 
     final = float(np.mean(eval_history[-args.window:])) if eval_history else 0.0
     log(f'final pixel-dream eval avg {final:.1f} (random baseline ~22)')

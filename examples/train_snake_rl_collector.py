@@ -121,6 +121,11 @@ def main(argv=None):
     p.add_argument('--rollouts-per-step', type=int, default=1,
                    help='env batches per PPO update — sparse-reward Snake '
                         'needs more transitions per update than CartPole')
+    p.add_argument('--trunk-lr', type=float, default=1e-4,
+                   help='full-model RL rate: PPO gradients reach the trunk, '
+                        'like the reference SB3 policy trains its CNN '
+                        'features from the RL signal (0 disables — measured '
+                        'flat at 0.15 apples after 2k heads-only updates)')
     p.add_argument('--update-epochs', type=int, default=4)
     p.add_argument('--entropy-weight', type=float, default=0.01)
     p.add_argument('--window', type=int, default=20)
@@ -170,6 +175,7 @@ def main(argv=None):
 
         trainer = SimTrainer(model, variables, env, objective='ppo',
                              policy_lr=args.policy_lr, value_lr=args.value_lr,
+                             rl_trunk_lr=args.trunk_lr or None,
                              num_steps=4, max_timesteps=args.max_steps,
                              num_rollouts_per_step=args.rollouts_per_step,
                              update_epochs=args.update_epochs,

@@ -125,3 +125,23 @@ def test_index_experience():
                                   np.asarray(exp.latents)[[2, 0]])
     np.testing.assert_array_equal(np.asarray(sub.lens), np.asarray(exp.lens)[[2, 0]])
     assert sub.step_size == exp.step_size and sub.prompt_len == exp.prompt_len
+
+
+def test_sim_trainer_full_model_rl():
+    """rl_trunk_lr switches SimTrainer to full-model RL: the PPO update
+    re-forwards the trunk and a third optimizer group moves it (the
+    reference's image-mode agent trains encoder features from the RL signal,
+    `train_cartpole_with_dynamics_rl.py:379-403`)."""
+    model = make_wm(dim_state=4, dim_critic_state=4)
+    variables = init_wm(model)
+    env = MockStateEnv(dim_state=4, num_actions=3, max_steps=5)
+    trainer = SimTrainer(model, variables, env, max_timesteps=5, num_steps=2,
+                         update_epochs=1, rl_trunk_lr=1e-3,
+                         train_dynamics=False)  # isolate the RL path
+    before = jax.tree.map(lambda x: x.copy(), trainer.rl_state.params)
+    trainer(1)
+    after = trainer.rl_state.params
+    d_trunk = jax.tree.reduce(
+        lambda a, b: a + float(jnp.abs(b).sum()),
+        jax.tree.map(lambda x, y: x - y, before['transformer'], after['transformer']), 0.0)
+    assert d_trunk > 0.0
