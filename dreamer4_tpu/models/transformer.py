@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.attention import Attention, AttentionPool, FeedForward, KVCache
+from ..nn.attention import (Attention, AttentionPool, FeedForward, KVCache,
+                            rms_normalize)
 from ..nn.norms import RMSNorm
 from ..ops.masks import build_attend_mask
 from ..ops.rotary import rotary_frequencies
@@ -311,7 +312,15 @@ class AxialSpaceTimeTransformer(nn.Module):
         new_h_net_cache = None
 
         layer_hiddens = [tokens]
-        hiddens = []
+        # pools re-normalize every hidden; compute the (unscaled) rms
+        # normalization once per hidden here and share it across all pools
+        # (each pool folds its own norm_context scale into its weights)
+        normed_hiddens = [rms_normalize(tokens)] if self.use_attn_pool else None
+
+        def append_hidden(tok):
+            layer_hiddens.append(tok)
+            if self.use_attn_pool:
+                normed_hiddens.append(rms_normalize(tok))
 
         time_layer_idx = 0
         for i, layer_is_time in enumerate(self.is_time_layer):
@@ -324,7 +333,7 @@ class AxialSpaceTimeTransformer(nn.Module):
                 out_tm, carry = GRUTimeLayer(self.dim, name=f'rnn_{i}')(x_tm, carry_in)
                 tokens = tokens + _from_time_major(out_tm, bs_shape)
                 new_rnn_carries.append(carry)
-                layer_hiddens.append(tokens)
+                append_hidden(tokens)
 
             # attention block
             use_mot = layer_is_time and self.mot_temporal and self.num_special_tokens > 0
@@ -423,7 +432,7 @@ class AxialSpaceTimeTransformer(nn.Module):
                     x_tm, h_net_loss, _ = hnet(x_tm, cache=None)
                 tokens = _from_time_major(x_tm, bs_shape)
 
-            layer_hiddens.append(tokens)
+            append_hidden(tokens)
 
             # feedforward (split weights for special tokens on MoT layers)
             ff_kwargs = dict(
@@ -460,14 +469,13 @@ class AxialSpaceTimeTransformer(nn.Module):
                     [grid.reshape(b, t, sh * sw, self.dim), tokens[:, :, sh * sw:]], axis=2)
                 new_spatial_caches.append(sm_next)
 
-            layer_hiddens.append(tokens)
-            hiddens.append(tokens)
+            append_hidden(tokens)
 
             # per-layer attention pool over the hidden stack (reference
             # `dreamer4.py:2870-2878`)
             if self.use_attn_pool and not is_last:
                 tokens = tokens + AttentionPool(self.dim, dtype=self.dtype, name=f'attn_pool_{i}')(
-                    tokens, layer_hiddens
+                    tokens, layer_hiddens, normed_hiddens=normed_hiddens
                 )
 
         # final cross-attend: special tokens read the spatial tokens once
@@ -497,7 +505,7 @@ class AxialSpaceTimeTransformer(nn.Module):
 
         if self.use_attn_pool:
             tokens = tokens + AttentionPool(self.dim, dtype=self.dtype, name='final_attn_pool')(
-                tokens, layer_hiddens
+                tokens, layer_hiddens, normed_hiddens=normed_hiddens
             )
 
         if self.final_norm:

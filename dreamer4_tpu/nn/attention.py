@@ -238,17 +238,71 @@ class FeedForward(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name='proj_out')(x)
 
 
+def rms_normalize(x, eps: float = 1e-6):
+    """RMSNorm's normalization step without the learned scale (f32 reduction,
+    result cast back to the input dtype). The trunk computes this ONCE per
+    layer hidden and shares it across every attention pool; each pool folds
+    its own `norm_context` scale into its projection weights."""
+    xf = x.astype(jnp.float32)
+    normed = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
+    return normed.astype(x.dtype)
+
+
+class _Kernel(nn.Module):
+    """Param holder that mirrors `nn.Dense(...)`'s param tree ({name}/kernel)
+    so the raw weight can participate in folded matmuls while checkpoints
+    stay interchangeable with the previous Dense-based pool."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, dim_in: int):
+        return self.param('kernel', nn.initializers.lecun_normal(), (dim_in, self.features))
+
+
+class _Scale(nn.Module):
+    """Param holder mirroring RMSNorm's tree ({name}/scale)."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        return self.param('scale', nn.initializers.ones, (dim,))
+
+
+class _Gamma(nn.Module):
+    """Param holder mirroring MultiHeadRMSNorm's tree ({name}/gamma)."""
+
+    heads: int
+    dim_head: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param('gamma', nn.initializers.zeros, (self.heads, self.dim_head))
+
+
 class _StreamingPoolAttention(nn.Module):
-    """Single-query attention over a *list* of per-layer hiddens, computed
-    hidden-by-hidden so the (B, L, d) context stack is never materialized.
+    """Single-query attention over the stack of per-layer hiddens.
 
     Equivalent math to `Attention(queries, context=stack(hiddens))` with
-    pre_rmsnorm + pre_context_rmsnorm + key RMSNorm + value gates (same
-    parameter tree, so checkpoints are interchangeable), but profiling the
-    b8xT32 train step showed the stacked form dominated device time with
-    layout copies of (b, t, s, L, d) tensors — ~65% of the step was
-    copy/transpose. Streaming keeps every intermediate at (B, heads*dim_head)
-    so XLA fuses norm+projection per hidden and no 5-D relayout exists."""
+    pre_rmsnorm + pre_context_rmsnorm + key RMSNorm + value gates — same
+    parameter tree, so checkpoints are interchangeable (parity test:
+    tests/test_transformer.py::test_attention_pool_matches_stacked_attention).
+
+    Implementation history, all measured on a v5e at the b8xT32 world-model
+    train step (dim 512, depth 8 => 8 pools over up to 19 hiddens):
+    - generic Attention over a (B, L, d) stack: (b, t, s, L, d) relayout
+      copies dominated the step;
+    - per-hidden streaming projections: no 5-D tensors, but sum(L_i) ~ 82
+      (pool, hidden) pairs x ~8 ops each of ~2 us swamped the step with
+      dispatch/latency-bound small ops — pools cost 26 ms of a 48.5 ms step
+      while their matmul work is <1 ms;
+    - this version: the caller passes hiddens ALREADY rms-normalized (one
+      shared normalization per hidden for all pools, instead of one per
+      (pool, hidden) pair); the pool folds its `norm_context` scale into the
+      k/v projection weights (a (d, h*dh) elementwise op per step), stacks
+      the normalized hiddens once, and runs ONE wide (L*B, d) matmul per
+      projection plus one batched k-norm fusion. ~6 mid-size ops per pool
+      instead of ~8*L tiny ones.
+    """
 
     dim: int
     heads: int
@@ -257,35 +311,37 @@ class _StreamingPoolAttention(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, hiddens):
-        # x: (B, d); hiddens: list of (B, d)
-        from ..ops.utils import softclamp
+    def __call__(self, x, normed_hiddens):
+        # x: (B, d) residual stream; normed_hiddens: list of (B, d),
+        # pre-normalized with `rms_normalize` (unscaled)
+        from ..ops.utils import l2norm, softclamp
 
+        d, h, dh = self.dim, self.heads, self.dim_head
+        cdt = self.dtype if self.dtype is not None else x.dtype
         dense = lambda feats, name: nn.Dense(feats, use_bias=False, dtype=self.dtype, name=name)
 
         tn = RMSNorm(name='norm')(x)
-        q = dense(self.heads * self.dim_head, 'to_q')(tn)
-        q = q.reshape(-1, self.heads, self.dim_head)
+        q = dense(h * dh, 'to_q')(tn)
+        q = q.reshape(-1, h, dh)
 
-        norm_context = RMSNorm(name='norm_context')
-        to_k = dense(self.heads * self.dim_head, 'to_k')
-        to_v = dense(self.heads * self.dim_head, 'to_v')
-        k_norm = MultiHeadRMSNorm(self.dim_head, self.heads, name='k_norm')
+        # fold the context-norm scale into the projection weights:
+        # (n * s) @ W == n @ (s[:, None] * W). One (d, h*dh) elementwise
+        # multiply per step instead of scaling (L, B, d) activations.
+        ctx_scale = _Scale(name='norm_context')(d)
+        w_k = _Kernel(h * dh, name='to_k')(d)
+        w_v = _Kernel(h * dh, name='to_v')(d)
+        w_k = (ctx_scale[:, None] * w_k).astype(cdt)
+        w_v = (ctx_scale[:, None] * w_v).astype(cdt)
+        gamma = _Gamma(h, dh, name='k_norm')()
 
-        keys, values = [], []
-        for h in hiddens:
-            c = norm_context(h)
-            k = to_k(c).reshape(-1, self.heads, self.dim_head)
-            k = k_norm(k[:, :, None, :])[:, :, 0, :]
-            keys.append(k)
-            values.append(to_v(c).reshape(-1, self.heads, self.dim_head))
+        n = jnp.stack(normed_hiddens)                     # (L, B, d)
+        k = (n @ w_k).reshape(*n.shape[:2], h, dh)        # (L, B, h, dh)
+        v = (n @ w_v).reshape(*n.shape[:2], h, dh)
+        # MultiHeadRMSNorm, batched over (L, B) in one fusion
+        k = (l2norm(k.astype(jnp.float32))
+             * ((gamma + 1.0) * dh ** 0.5)).astype(cdt)
 
-        # one batched score/output einsum over the stacked small k/v heads —
-        # per-hidden dot products would re-read q once per hidden (measured as
-        # hundreds of bandwidth-bound multiply-reduce ops per step)
-        k = jnp.stack(keys)                               # (L, B, h, dh)
-        v = jnp.stack(values)                             # (L, B, h, dh)
-        scale = self.dim_head ** -0.5
+        scale = dh ** -0.5
         # scores and softmax in f32, matching naive_attend
         sim = jnp.einsum('bhd,lbhd->bhl', q, k,
                          preferred_element_type=jnp.float32) * scale
@@ -296,7 +352,7 @@ class _StreamingPoolAttention(nn.Module):
 
         gates = jax.nn.sigmoid(dense(self.heads, 'to_gates')(tn))
         out = out * gates[..., None]
-        out = out.reshape(-1, self.heads * self.dim_head)
+        out = out.reshape(-1, h * dh)
         return dense(self.dim, 'to_out')(out)
 
 
@@ -308,24 +364,33 @@ class AttentionPool(nn.Module):
     heads: int = 4
     dim_head: int = 64
     dtype: jnp.dtype | None = None
+    # rematerialize the pool in the backward once the flattened token count
+    # is large (long-sequence training): the stacked k/v residuals are
+    # O(sum_i L_i * B * heads * dim_head) across pools and OOM a 16 GB chip
+    # at T=1024 x 27 tokens/frame if all kept. Small steps keep the residuals
+    # (remat measured +4.5 ms on the b8xT32 train step).
+    remat_min_tokens: int = 16384
 
     @nn.compact
-    def __call__(self, x, hiddens):
-        # x: (..., d); hiddens: list of (..., d) with identical shapes
+    def __call__(self, x, hiddens, normed_hiddens=None):
+        # x: (..., d); hiddens: list of (..., d) with identical shapes.
+        # Callers that hold many pools (the trunk) pass `normed_hiddens`
+        # (rms_normalize applied once per hidden, shared across pools);
+        # otherwise it is computed here.
         lead_shape = x.shape[:-1]
         flat = lambda t: t.reshape(-1, t.shape[-1])
-        # remat: the stacked k/v heads are O(L * B * heads * dim_head) per
-        # pool — recompute them in the backward from the hiddens (which are
-        # live anyway) instead of keeping every pool's stacks resident
-        # (without this a T=1024 single-sequence train step OOMs a 16 GB chip)
-        pool_cls = nn.remat(_StreamingPoolAttention)
+        if normed_hiddens is None:
+            normed_hiddens = [rms_normalize(h) for h in hiddens]
+        pool_cls = _StreamingPoolAttention
+        if x[..., 0].size >= self.remat_min_tokens:
+            pool_cls = nn.remat(pool_cls)
         out = pool_cls(
             dim=self.dim,
             heads=self.heads,
             dim_head=self.dim_head,
             dtype=self.dtype,
             name='attn',
-        )(flat(x), [flat(h) for h in hiddens])
+        )(flat(x), [flat(h) for h in normed_hiddens])
         return out.reshape(*lead_shape, x.shape[-1])
 
 
