@@ -29,15 +29,17 @@ NS_DTYPE = jnp.bfloat16
 
 def _ns_iterate(X: jax.Array, steps: int) -> jax.Array:
     """Quintic NS body shared by the single and batched paths. X: (..., m, n)
-    with m <= n, rows Frobenius-normalized per matrix."""
+    with m <= n, rows Frobenius-normalized per matrix. The step count is
+    static and tiny (5), so unroll in Python: a `fori_loop` here compiled to
+    4 `while` ops that cost ~1.8 ms/step of loop/dispatch overhead on a v5e
+    and blocked cross-iteration fusion."""
     a, b, c = NS_COEFFS
 
-    def body(_, X):
+    for _ in range(steps):
         A = X @ X.swapaxes(-1, -2)
         B = b * A + c * (A @ A)
-        return a * X + B @ X
-
-    return jax.lax.fori_loop(0, steps, body, X)
+        X = a * X + B @ X
+    return X
 
 
 def newton_schulz_orthogonalize(g: jax.Array, steps: int = 5, eps: float = 1e-7,
@@ -162,6 +164,36 @@ def muon_label_fn(path: tuple, param) -> str:
     return 'muon' if is_trunk_2d else 'adam'
 
 
+def clip_by_global_norm_bucketed(
+    max_norm: float, small_leaf_size: int = 262144,
+) -> optax.GradientTransformation:
+    """`optax.clip_by_global_norm` with the norm computed from bucketed
+    leaves: every leaf up to `small_leaf_size` elements is raveled into one
+    concatenated vector reduced by a single fusion; only the big matrices
+    keep per-leaf sum-of-squares. A 57M world model has ~200 sub-256k leaves;
+    optax's per-leaf reduction compiled to ~130 scalar fusions totalling
+    ~3.4 ms/step (latency-bound at <100 GB/s) where the actual bytes need
+    <0.3 ms."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        leaves = jax.tree_util.tree_leaves(updates)
+        small = [l.reshape(-1).astype(jnp.float32) for l in leaves
+                 if l.size <= small_leaf_size]
+        big = [l for l in leaves if l.size > small_leaf_size]
+        parts = [jnp.sum(jnp.square(jnp.concatenate(small)))] if small else []
+        parts += [jnp.sum(jnp.square(l.astype(jnp.float32))) for l in big]
+        g_norm = jnp.sqrt(jnp.sum(jnp.stack(parts)))
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(g_norm, 1e-16))
+        return jax.tree.map(lambda g: (g * scale).astype(g.dtype), updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def muon_adam_atan2(
     learning_rate: float = 3e-4,
     muon_learning_rate: float | None = None,
@@ -186,7 +218,7 @@ def muon_adam_atan2(
 
     chain = []
     if clip_grad_norm is not None:
-        chain.append(optax.clip_by_global_norm(clip_grad_norm))
+        chain.append(clip_by_global_norm_bucketed(clip_grad_norm))
     if weight_decay > 0.0:
         chain.append(optax.add_decayed_weights(weight_decay))
     chain.append(tx)
