@@ -195,6 +195,10 @@ class DynamicsWorldModel(nn.Module):
     time_attention_use_pope: bool = False
     use_time_rnn: bool = False
     mot_temporal: bool = False
+    # per-layer attention pools over the hidden stack (reference
+    # `dreamer4.py:2785, 2870-2878`); exposed for parity and for the
+    # measured pool-cost ablation in docs/tpu_performance_notes.md
+    use_attn_pool: bool = True
     # H-Net temporal chunking on the MAIN trunk (reference splices the
     # hierarchical temporal transformer into the dynamics trunk the same
     # way as the tokenizer's, `dreamer4.py:3151-3170`)
@@ -415,6 +419,7 @@ class DynamicsWorldModel(nn.Module):
             time_attention_use_pope=self.time_attention_use_pope,
             rnn_time=self.use_time_rnn,
             mot_temporal=self.mot_temporal,
+            use_attn_pool=self.use_attn_pool,
             dtype=self.dtype,
         )
         # H-Net applies to the main trunk only (actor/critic heads are

@@ -239,13 +239,18 @@ class FeedForward(nn.Module):
 
 
 def rms_normalize(x, eps: float = 1e-6):
-    """RMSNorm's normalization step without the learned scale (f32 reduction,
-    result cast back to the input dtype). The trunk computes this ONCE per
-    layer hidden and shares it across every attention pool; each pool folds
-    its own `norm_context` scale into its projection weights."""
+    """RMSNorm's normalization step without the learned scale. Only the
+    mean-square STATISTIC is computed in f32; the elementwise apply stays in
+    the stream dtype so a bf16 tensor is never materialized as f32 — in
+    bf16 training XLA otherwise fuses the f32 convert into the producing
+    matmul and doubles its HBM write traffic (measured on the pool k/v
+    projections). For f32 inputs the casts are no-ops and the math is
+    unchanged. The trunk computes this ONCE per layer hidden and shares it
+    across every attention pool; each pool folds its own `norm_context`
+    scale into its projection weights."""
     xf = x.astype(jnp.float32)
-    normed = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
-    return normed.astype(x.dtype)
+    inv = jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
+    return x * inv.astype(x.dtype)
 
 
 class _Kernel(nn.Module):
@@ -314,7 +319,7 @@ class _StreamingPoolAttention(nn.Module):
     def __call__(self, x, normed_hiddens):
         # x: (B, d) residual stream; normed_hiddens: list of (B, d),
         # pre-normalized with `rms_normalize` (unscaled)
-        from ..ops.utils import l2norm, softclamp
+        from ..ops.utils import softclamp
 
         d, h, dh = self.dim, self.heads, self.dim_head
         cdt = self.dtype if self.dtype is not None else x.dtype
@@ -330,16 +335,28 @@ class _StreamingPoolAttention(nn.Module):
         ctx_scale = _Scale(name='norm_context')(d)
         w_k = _Kernel(h * dh, name='to_k')(d)
         w_v = _Kernel(h * dh, name='to_v')(d)
-        w_k = (ctx_scale[:, None] * w_k).astype(cdt)
-        w_v = (ctx_scale[:, None] * w_v).astype(cdt)
+        # cast BEFORE folding: the fold then reads/writes bf16 (half the
+        # bytes of the previous f32 multiply + fused convert)
+        cscale = ctx_scale.astype(cdt)[:, None]
+        w_k = cscale * w_k.astype(cdt)
+        w_v = cscale * w_v.astype(cdt)
         gamma = _Gamma(h, dh, name='k_norm')()
 
         n = jnp.stack(normed_hiddens)                     # (L, B, d)
-        k = (n @ w_k).reshape(*n.shape[:2], h, dh)        # (L, B, h, dh)
-        v = (n @ w_v).reshape(*n.shape[:2], h, dh)
-        # MultiHeadRMSNorm, batched over (L, B) in one fusion
-        k = (l2norm(k.astype(jnp.float32))
-             * ((gamma + 1.0) * dh ** 0.5)).astype(cdt)
+        # ONE fused matmul for k and v: the (L, B, d) hidden stack is the
+        # dominant HBM traffic of the pools (each pool re-reads its whole
+        # prefix stack) — concatenating the folded weights halves the stack
+        # reads in both the forward and the dn backward
+        kv = (n @ jnp.concatenate([w_k, w_v], axis=-1))   # (L, B, 2*h*dh)
+        k, v = jnp.split(kv, 2, axis=-1)
+        k = k.reshape(*n.shape[:2], h, dh)                # (L, B, h, dh)
+        v = v.reshape(*n.shape[:2], h, dh)
+        # MultiHeadRMSNorm, batched over (L, B): f32 statistic only, apply in
+        # the stream dtype (see rms_normalize — keeps the k projection's
+        # output bf16 instead of a convert-fused f32 write)
+        kf = k.astype(jnp.float32)
+        inv = jax.lax.rsqrt(jnp.sum(jnp.square(kf), axis=-1, keepdims=True) + 1e-12)
+        k = k * inv.astype(cdt) * ((gamma + 1.0) * dh ** 0.5).astype(cdt)
 
         scale = dh ** -0.5
         # scores and softmax in f32, matching naive_attend

@@ -5,8 +5,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.utils import l2norm
-
 
 class RMSNorm(nn.Module):
     """Standard RMSNorm with learned scale (weight-decay friendly: param is
@@ -22,9 +20,12 @@ class RMSNorm(nn.Module):
     def __call__(self, x):
         dim = x.shape[-1]
         scale = self.param('scale', nn.initializers.ones, (dim,))
+        # f32 statistic, stream-dtype apply: never materializes a bf16
+        # stream as f32 (for f32 inputs the casts are no-ops and the op
+        # order matches the previous all-f32 form exactly)
         xf = x.astype(jnp.float32)
-        normed = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + 1e-6)
-        return (normed * scale).astype(x.dtype)
+        inv = jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + 1e-6)
+        return x * inv.astype(x.dtype) * scale.astype(x.dtype)
 
 
 class MultiHeadRMSNorm(nn.Module):
@@ -38,6 +39,8 @@ class MultiHeadRMSNorm(nn.Module):
     @nn.compact
     def __call__(self, x):  # (..., h, n, d)
         gamma = self.param('gamma', nn.initializers.zeros, (self.heads, self.dim_head))
-        normed = l2norm(x.astype(jnp.float32))
+        # f32 statistic, stream-dtype apply (see RMSNorm)
+        xf = x.astype(jnp.float32)
+        inv = jax.lax.rsqrt(jnp.sum(jnp.square(xf), axis=-1, keepdims=True) + 1e-12)
         scale = (gamma + 1.0) * (self.dim_head ** 0.5)
-        return (normed * scale[..., :, None, :]).astype(x.dtype)
+        return x * inv.astype(x.dtype) * scale[..., :, None, :].astype(x.dtype)

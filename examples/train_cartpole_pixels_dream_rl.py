@@ -165,6 +165,13 @@ def main(argv=None):
     # phase 1
     p.add_argument('--expert-iterations', type=int, default=60)
     p.add_argument('--expert-target', type=float, default=80.0)
+    p.add_argument('--expert-extend', action='store_true',
+                   help='when an expert checkpoint exists, keep training it '
+                        'toward --expert-target instead of using it as-is. '
+                        'The offline state-vector gate was solved with an '
+                        '~80-return expert dataset; a weaker expert caps the '
+                        'world model (and thus the dream policy) below the '
+                        'gate.')
     # phase 2
     p.add_argument('--batches-expert', type=int, default=30)
     p.add_argument('--batches-random', type=int, default=30)
@@ -185,7 +192,10 @@ def main(argv=None):
     p.add_argument('--ppo-epochs', type=int, default=2)
     p.add_argument('--policy-lr', type=float, default=6e-4)
     p.add_argument('--value-lr', type=float, default=6e-4)
-    p.add_argument('--entropy-weight', type=float, default=0.001)
+    # 0.01 matches the solved ONLINE recipe (train_cartpole_dream_rl.py);
+    # 0.001 collapsed to H~0.2 by update ~2500 in the first pixel run, so the
+    # online rounds collected near-deterministic data and stopped climbing
+    p.add_argument('--entropy-weight', type=float, default=0.01)
     p.add_argument('--eval-every', type=int, default=25)
     p.add_argument('--window', type=int, default=3)
     # phase 7: iterated online rounds — the full Dreamer recipe. The offline
@@ -301,19 +311,44 @@ def main(argv=None):
     expert_dir = work / 'expert_ckpt'
     with jax.default_device(cpu0):
         expert_model = build_state_model()
+        expert_variables = None
         if (expert_dir / 'config.json').exists():
             expert_model, expert_variables = load_model(expert_dir, DynamicsWorldModel)
             log(f'[expert] loaded checkpoint from {expert_dir}')
-        else:
+        if expert_variables is None or args.expert_extend:
             env = RenderingCartPoleAdapter(
                 n_envs=args.n_envs, max_timesteps=args.max_timesteps,
                 seed=args.seed, record=False)
-            expert_vars = init_wm_variables(expert_model, args.seed)
+            expert_vars = (expert_variables if expert_variables is not None
+                           else init_wm_variables(expert_model, args.seed))
             sim = SimTrainer(expert_model, expert_vars, env, policy_lr=3e-4,
                              value_lr=3e-4, num_steps=args.num_denoise_steps,
                              max_timesteps=args.max_timesteps, update_epochs=4,
                              dynamics_lr=1e-4)
             key = jax.random.PRNGKey(args.seed)
+
+            # held-out verification: the in-training 20-episode window is a
+            # noisy overestimate while the policy is still moving (measured:
+            # window 82.1 at the stop iteration, but the SAME policy
+            # collected only 53.8 afterwards). Only stop once a no-update
+            # eval on a fresh env seed confirms the target — the dataset
+            # quality is what bounds the downstream dream policy.
+            eval_interactor = EnvInteractor(expert_model)
+
+            def held_out_eval(variables, it):
+                env_eval = RenderingCartPoleAdapter(
+                    n_envs=args.n_envs, max_timesteps=args.max_timesteps,
+                    seed=args.seed + 777 + it, record=False)
+                rets: list[float] = []
+                for bi in range(2):
+                    exp = eval_interactor(
+                        variables, env_eval,
+                        jax.random.fold_in(jax.random.PRNGKey(args.seed + 555), 100 * it + bi),
+                        num_steps=args.num_denoise_steps,
+                        max_timesteps=args.max_timesteps)
+                    rets.extend(np.asarray(exp.episode_return).tolist())
+                return float(np.mean(rets))
+
             returns: list[float] = []
             for it in range(args.expert_iterations):
                 experience, _ = sim.step(jax.random.fold_in(key, it))
@@ -323,8 +358,11 @@ def main(argv=None):
                 if it % 5 == 0:
                     log(f'[expert] iter {it}: avg return {avg:.1f}')
                 if len(window) >= 20 and avg >= args.expert_target:
-                    log(f'[expert] reached {avg:.1f} at iter {it}')
-                    break
+                    ev = held_out_eval(sim.variables, it)
+                    log(f'[expert] window {avg:.1f} at iter {it}; held-out '
+                        f'eval {ev:.1f} (target {args.expert_target})')
+                    if ev >= args.expert_target:
+                        break
             expert_variables = sim.variables
             save_model(expert_dir, expert_model, expert_variables)
             log(f'[expert] saved checkpoint to {expert_dir}')
