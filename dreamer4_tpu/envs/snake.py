@@ -14,11 +14,19 @@ class SnakeEnv:
     num_actions = 4
 
     def __init__(self, grid_size: int = 4, max_steps: int = 20, image_size: int | None = None,
-                 seed: int = 0):
+                 seed: int = 0, apple_reward: float = 1.0,
+                 collision_penalty: float = 0.0, aliveness_penalty: float = 0.0):
+        """Reward shaping mirrors the reference env's knobs
+        (`train_snake_ppo.py:266-269` passes collision_penalty=-10,
+        apple_reward=5, aliveness_penalty=-0.01 into its SnakeEnv); the
+        defaults here keep the original sparse +1-per-apple behavior."""
         self.grid_size = grid_size
         self.max_steps = max_steps
         self.image_size = image_size if image_size is not None else grid_size * 2
         self.rng = np.random.default_rng(seed)
+        self.apple_reward = apple_reward
+        self.collision_penalty = collision_penalty
+        self.aliveness_penalty = aliveness_penalty
 
     def _place_apple(self):
         free = [(y, x) for y in range(self.grid_size) for x in range(self.grid_size)
@@ -67,16 +75,17 @@ class SnakeEnv:
 
         self.steps += 1
         terminated = False
-        reward = 0.0
+        reward = self.aliveness_penalty
 
         out_of_bounds = not (0 <= ny < self.grid_size and 0 <= nx < self.grid_size)
         hits_self = (ny, nx) in self.snake
         if out_of_bounds or hits_self:
             terminated = True
+            reward = self.collision_penalty
         else:
             self.snake.insert(0, (ny, nx))
             if self.apple is not None and (ny, nx) == self.apple:
-                reward = 1.0
+                reward = self.apple_reward
                 self.apples_eaten += 1
                 self.apple = self._place_apple()
                 if self.apple is None:

@@ -300,6 +300,10 @@ class AxialSpaceTimeTransformer(nn.Module):
             rmsnorm_query=self.rmsnorm_query,
             rmsnorm_key=self.rmsnorm_key,
             belief_attn=self.belief_attn,
+            # below the flash gate, use the small-shape fused kernel (the
+            # other design point: transpose-free layout, VMEM-resident
+            # scores) — same master switch as the flash kernels
+            use_fused_small=self.use_flash_attention,
             dtype=self.dtype,
         )
 

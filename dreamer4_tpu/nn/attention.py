@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -78,6 +80,11 @@ class Attention(nn.Module):
     value_residual: bool = True
     belief_attn: bool = True
     softclamp_value: float | None = 50.0
+    # enable the small-shape fused kernel (ops/small_attention.py) for
+    # self-attention calls below the flash gate: q/k/v stay in the
+    # projections' natural (B, n, h, dh) layout end-to-end — no per-head
+    # relayout copies, scores never touch HBM
+    use_fused_small: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -109,6 +116,22 @@ class Attention(nn.Module):
                 context = RMSNorm(name='norm_context')(context)
         else:
             context = tokens
+
+        use_small = (
+            self.use_fused_small
+            and flash_spec is None and ring_axis is None and kv_cache is None
+            and not has_context
+            and q_heads == self.heads
+            and tokens.ndim == 3
+            # static (numpy) 2-D masks only: the kernel's interleaved bias
+            # must be a jit CONSTANT (ops/masks.py returns numpy for static
+            # configs; traced masks — cached decode — use the generic path)
+            and (mask is None or (isinstance(mask, np.ndarray) and mask.ndim == 2))
+            and tokens.shape[-2] * self.heads <= 2048
+        )
+        if use_small:
+            return self._small_path(tokens, normed_inputs, mask, rotary,
+                                    residual_values)
 
         q = dense(q_heads * self.dim_head, 'to_q')(tokens)
         k = dense(self.heads * self.dim_head, 'to_k')(context)
@@ -206,6 +229,74 @@ class Attention(nn.Module):
         out = dense(self.dim, 'to_out')(out)
 
         return AttentionOut(out, new_cache, normed_inputs)
+
+    def _small_path(self, tokens, normed_inputs, mask, rotary, residual_values):
+        """Self-attention via the small-shape fused kernel, with EVERY
+        tensor op in one flat (B, n*h, dh) layout (row i = position i//h,
+        head i%h — the projections' natural memory order, so the reshapes
+        are free). Value-residual mix, QK norms, rotary and gates all apply
+        in this layout with pre-expanded (n*h, ...) tables; the kernel
+        consumes it directly. One canonical layout end-to-end means XLA has
+        no reason to insert the per-head relayout copies that dominate
+        sub-flash-gate attention on the generic path. Parameter tree and
+        math are identical to the generic path (same named submodules;
+        parity: tests/test_small_attention.py)."""
+        from ..ops.rotary import apply_rotations_flat
+        from ..ops.small_attention import build_interleaved_bias, small_attend_flat
+
+        h, dh = self.heads, self.dim_head
+        B, n, _ = tokens.shape
+        nh = n * h
+        dense = lambda feats, name: nn.Dense(feats, use_bias=False, dtype=self.dtype, name=name)
+        flat = lambda x: x.reshape(B, nh, dh)
+
+        q = flat(dense(h * dh, 'to_q')(tokens))            # (B, n*h, dh)
+        k = flat(dense(h * dh, 'to_k')(tokens))
+        v = flat(dense(h * dh, 'to_v')(tokens))
+
+        if residual_values is not None:                    # (B, n, h, dh) in
+            assert self.value_residual
+            mix = jax.nn.sigmoid(nn.Dense(h, dtype=self.dtype, name='to_value_residual_mix')(tokens))
+            v = v + (flat(residual_values) - v) * mix.reshape(B, nh, 1)
+
+        def head_norm(x, name):
+            # MultiHeadRMSNorm in the flat layout: f32 statistic,
+            # stream-dtype apply, gamma tiled to (n*h, dh) (same param tree
+            # as the generic path's MultiHeadRMSNorm)
+            gamma = _Gamma(h, dh, name=name)()
+            xf = x.astype(jnp.float32)
+            inv = jax.lax.rsqrt(jnp.sum(jnp.square(xf), axis=-1, keepdims=True) + 1e-12)
+            scale = jnp.tile((gamma + 1.0) * dh ** 0.5, (n, 1)).astype(x.dtype)
+            return x * inv.astype(x.dtype) * scale
+
+        if self.rmsnorm_query:
+            q = head_norm(q, 'q_norm')
+        if self.rmsnorm_key:
+            k = head_norm(k, 'k_norm')
+
+        if rotary is not None:
+            q = apply_rotations_flat(rotary, q, h)
+            k = apply_rotations_flat(rotary, k, h)
+
+        if self.belief_attn:
+            v_for_belief = v
+
+        bias = build_interleaved_bias(n, h, mask)
+        out = small_attend_flat(q, k, v, bias, softclamp_value=self.softclamp_value,
+                                interpret=jax.default_backend() != 'tpu')
+
+        if self.belief_attn:
+            v_normed = l2norm(v_for_belief)
+            parallel = jnp.sum(out * v_normed, axis=-1, keepdims=True) * v_normed
+            out = out - parallel
+
+        if self.gate_values:
+            gates = jax.nn.sigmoid(nn.Dense(h, use_bias=False, dtype=self.dtype, name='to_gates')(tokens))
+            out = out * gates.reshape(B, nh, 1)
+
+        out = out.reshape(B, n, h * dh)
+        out = dense(self.dim, 'to_out')(out)
+        return AttentionOut(out, None, normed_inputs)
 
 
 class FeedForward(nn.Module):

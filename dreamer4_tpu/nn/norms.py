@@ -37,10 +37,16 @@ class MultiHeadRMSNorm(nn.Module):
     heads: int
 
     @nn.compact
-    def __call__(self, x):  # (..., h, n, d)
+    def __call__(self, x, layout: str = 'hnd'):
+        """x: (..., h, n, d) for layout='hnd' (default), or the
+        transpose-free (..., n, h, d) used by the small-attention path for
+        layout='nhd' — the (h, d) gamma broadcasts over the last two axes
+        there directly. Same params either way."""
         gamma = self.param('gamma', nn.initializers.zeros, (self.heads, self.dim_head))
         # f32 statistic, stream-dtype apply (see RMSNorm)
         xf = x.astype(jnp.float32)
         inv = jax.lax.rsqrt(jnp.sum(jnp.square(xf), axis=-1, keepdims=True) + 1e-12)
         scale = (gamma + 1.0) * (self.dim_head ** 0.5)
+        if layout == 'nhd':
+            return x * inv.astype(x.dtype) * scale.astype(x.dtype)
         return x * inv.astype(x.dtype) * scale[..., :, None, :].astype(x.dtype)

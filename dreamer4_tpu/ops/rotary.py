@@ -43,3 +43,31 @@ def apply_rotations(rotations: jax.Array, t: jax.Array) -> jax.Array:
     rotated_half = jnp.concatenate([-x2, x1], axis=-1)
 
     return t * cos + rotated_half * sin
+
+
+def apply_rotations_flat(rotations: jax.Array, t: jax.Array, heads: int) -> jax.Array:
+    """`apply_rotations` for the flattened (..., n*h, d) layout used by the
+    small-attention kernel path (row i is position i // heads, head
+    i % heads). The tiny rotation table is expanded to (n*h, d) so the
+    multiply-add runs directly in the flat layout — no per-head relayout.
+    Same table semantics as `apply_rotations`: (n, d) shared across heads or
+    (heads, n, d) per-head (PoPE), tail-aligned when the table is longer
+    than the sequence."""
+    n = t.shape[-2] // heads
+    if rotations.shape[-2] > n:
+        rotations = rotations[..., -n:, :]
+
+    if rotations.ndim == 3:                             # (h', n, d) per-head
+        if rotations.shape[0] != heads:
+            assert heads % rotations.shape[0] == 0
+            rotations = jnp.repeat(rotations, heads // rotations.shape[0], axis=0)
+        rot = rotations.swapaxes(0, 1).reshape(n * heads, rotations.shape[-1])
+    else:                                               # (n, d) shared
+        rot = jnp.repeat(rotations, heads, axis=0)
+
+    cos = jnp.cos(rot).astype(t.dtype)
+    sin = jnp.sin(rot).astype(t.dtype)
+    half = t.shape[-1] // 2
+    x1, x2 = t[..., :half], t[..., half:]
+    rotated_half = jnp.concatenate([-x2, x1], axis=-1)
+    return t * cos + rotated_half * sin

@@ -1,14 +1,19 @@
 """Snake-4x4 collector trained by the framework's OWN RL (no script).
 
-The reference trains an SB3 PPO policy on raw Snake pixels to
-`target_apples = 5.0` per episode and then fills replay buffers with its
-rollouts (`/root/reference/train_snake_ppo.py:272, 186-253`). The scripted
-greedy collector in `train_snake_ppo.py` matches the data contract; this
-example closes the remaining parity point: the collection policy itself is
-LEARNED, through `SimTrainer` (interact -> PPO) on the flattened grid
-observation, with the reference's sparse reward (+1 per apple only).
+The reference trains an SB3 PPO policy on raw Snake pixels with SHAPED
+rewards (collision -10, apple +5, aliveness -0.01,
+`/root/reference/train_snake_ppo.py:266-269`), stops as soon as ONE episode
+reaches `target_apples = 5.0` (`:117-118`), then fills replay buffers with
+its rollouts (`:186-253`). The scripted greedy collector in
+`train_snake_ppo.py` matches the data contract; this example closes the
+remaining parity point: the collection policy itself is LEARNED, through
+`SimTrainer` (interact -> PPO) on the flattened grid observation, with the
+reference's reward shaping and gate semantics (both overridable:
+`--gate window-avg` gives the stricter rolling-average gate, and the
+shaping flags can be zeroed for the sparse +1 task).
 
-Phase 1: online RL until the 20-episode average apples/episode >= the gate.
+Phase 1: online RL until the gate passes (apples tracked from env info,
+         not returns — shaped returns no longer count apples).
 Phase 2: the learned policy fills a ReplayBuffer with (video, rewards,
          terminated, discrete_actions) episodes — the same schema the
          tokenizer/dynamics recipe consumes.
@@ -41,9 +46,13 @@ class SnakeVectorAdapter:
     the raw grid image, `train_snake_ppo.py:58`); 2x-scale frames are kept in
     a side buffer for the collection phase's video field."""
 
-    def __init__(self, n_envs=16, grid_size=4, max_steps=20, seed=0, record=False):
+    def __init__(self, n_envs=16, grid_size=4, max_steps=20, seed=0, record=False,
+                 apple_reward=1.0, collision_penalty=0.0, aliveness_penalty=0.0):
         self.envs = [SnakeEnv(grid_size=grid_size, max_steps=max_steps,
-                              image_size=grid_size, seed=seed + i)
+                              image_size=grid_size, seed=seed + i,
+                              apple_reward=apple_reward,
+                              collision_penalty=collision_penalty,
+                              aliveness_penalty=aliveness_penalty)
                      for i in range(n_envs)]
         self.big = [SnakeEnv(grid_size=grid_size, max_steps=max_steps,
                              image_size=2 * grid_size, seed=0)
@@ -54,6 +63,10 @@ class SnakeVectorAdapter:
         self._seed = seed
         self.record = record
         self.frame_log: list[np.ndarray] = []
+        # apples of every episode that has ENDED, in completion order —
+        # with shaped rewards the episode return no longer equals the
+        # apple count, so the gate reads this instead
+        self.finished_apples: list[int] = []
 
     @property
     def dim_state(self):
@@ -91,10 +104,12 @@ class SnakeVectorAdapter:
             if self._done[i]:
                 terminated[i] = True
                 continue
-            _, r, term, trunc, _ = env.step(int(actions[i]))
+            _, r, term, trunc, info = env.step(int(actions[i]))
             rewards[i] = r
             terminated[i] = term
             truncated[i] = trunc
+            if (term or trunc) and not self._done[i]:
+                self.finished_apples.append(int(info['apples']))
             self._done[i] |= term or trunc
         self._snap()
         return {'state': self._state()}, rewards, terminated, truncated, {}
@@ -129,6 +144,17 @@ def main(argv=None):
     p.add_argument('--update-epochs', type=int, default=4)
     p.add_argument('--entropy-weight', type=float, default=0.01)
     p.add_argument('--window', type=int, default=20)
+    # the reference trains its SB3 policy on SHAPED rewards
+    # (`train_snake_ppo.py:266-269`: collision -10, apple +5, aliveness
+    # -0.01) and stops as soon as ONE episode reaches target_apples
+    # (`:117-118`) — not on a window average. Defaults mirror that.
+    p.add_argument('--apple-reward', type=float, default=5.0)
+    p.add_argument('--collision-penalty', type=float, default=-10.0)
+    p.add_argument('--aliveness-penalty', type=float, default=-0.01)
+    p.add_argument('--gate', choices=('episode', 'window-avg'), default='episode',
+                   help="'episode': reference semantics — a single episode "
+                        "reaching target_apples passes; 'window-avg': the "
+                        "stricter rolling-average gate")
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--checkpoint', type=str, default='',
                    help='save/reuse the trained collector policy here')
@@ -149,7 +175,10 @@ def main(argv=None):
     from dreamer4_tpu.train.trainers import SimTrainer
 
     env = SnakeVectorAdapter(n_envs=args.n_envs, grid_size=args.grid_size,
-                             max_steps=args.max_steps, seed=args.seed)
+                             max_steps=args.max_steps, seed=args.seed,
+                             apple_reward=args.apple_reward,
+                             collision_penalty=args.collision_penalty,
+                             aliveness_penalty=args.aliveness_penalty)
 
     model = DynamicsWorldModel(
         dim=64, dim_latent=16, num_latent_tokens=4, num_spatial_tokens=4,
@@ -158,7 +187,8 @@ def main(argv=None):
         num_register_tokens=4, dim_state=env.dim_state,
         dim_critic_state=env.dim_state, predict_terminals=True,
         policy_entropy_weight=args.entropy_weight, keep_reward_ema_stats=True,
-        reward_range=(-2.0, 2.0 + args.max_steps))
+        reward_range=(min(args.collision_penalty, -2.0) - 2.0,
+                      2.0 + args.apple_reward * (args.grid_size ** 2)))
 
     ckpt_dir = Path(args.checkpoint) if args.checkpoint else None
     if ckpt_dir is not None and (ckpt_dir / 'config.json').exists():
@@ -182,25 +212,34 @@ def main(argv=None):
                              dynamics_lr=args.dynamics_lr)
 
         key = jax.random.PRNGKey(args.seed)
-        apples: list[float] = []
         solved = False
         for it in range(args.max_iterations):
-            experience, _ = trainer.step(jax.random.fold_in(key, it))
-            apples.extend(np.asarray(experience.episode_return).tolist())
-            window = apples[-args.window:]
-            avg = float(np.mean(window))
+            trainer.step(jax.random.fold_in(key, it))
+            window = env.finished_apples[-args.window:]
+            avg = float(np.mean(window)) if window else 0.0
+            best = max(window) if window else 0
             if it % 10 == 0:
-                log(f'[rl] iter {it}: apples/episode (last {len(window)}) = {avg:.2f}')
-            if len(window) >= args.window and avg >= args.target_apples:
-                log(f'[rl] GATE REACHED at iteration {it}: apples/episode '
-                    f'{avg:.2f} >= {args.target_apples} (learned policy, '
-                    f'sparse +1-per-apple reward)')
-                solved = True
-                break
+                log(f'[rl] iter {it}: apples/episode (last {len(window)}) '
+                    f'avg {avg:.2f}, best {best}')
+            if len(window) >= args.window:
+                if args.gate == 'episode' and best >= args.target_apples:
+                    log(f'[rl] GATE REACHED at iteration {it}: an episode ate '
+                        f'{best} apples >= {args.target_apples} (reference '
+                        f'semantics, train_snake_ppo.py:117-118; window avg '
+                        f'{avg:.2f})')
+                    solved = True
+                    break
+                if args.gate == 'window-avg' and avg >= args.target_apples:
+                    log(f'[rl] GATE REACHED at iteration {it}: window avg '
+                        f'{avg:.2f} >= {args.target_apples}')
+                    solved = True
+                    break
         variables = trainer.variables
         if not solved:
-            log(f'[rl] gate NOT reached: final avg '
-                f'{float(np.mean(apples[-args.window:])):.2f}')
+            w = env.finished_apples[-args.window:]
+            log(f'[rl] gate NOT reached: final window avg '
+                f'{float(np.mean(w)) if w else 0.0:.2f}, '
+                f'best {max(w) if w else 0}')
             return 1
         if ckpt_dir is not None:  # only a gate-passing policy is worth keeping
             save_model(ckpt_dir, model, variables)
@@ -216,7 +255,10 @@ def main(argv=None):
 
     record_env = SnakeVectorAdapter(n_envs=args.n_envs, grid_size=args.grid_size,
                                     max_steps=args.max_steps,
-                                    seed=args.seed + 10_000, record=True)
+                                    seed=args.seed + 10_000, record=True,
+                                    apple_reward=args.apple_reward,
+                                    collision_penalty=args.collision_penalty,
+                                    aliveness_penalty=args.aliveness_penalty)
     interactor = EnvInteractor(model)
     collected, apple_counts = 0, []
     key = jax.random.PRNGKey(args.seed + 77)
@@ -242,7 +284,7 @@ def main(argv=None):
                         terminated=bool(terminals[row]) and t == n - 1,
                         discrete_actions=int(acts[row, t, 0]))
             collected += 1
-            apple_counts.append(float(rews[row, :n].sum()))
+            apple_counts.append(float((rews[row, :n] >= args.apple_reward - 1e-6).sum()))
 
     mean_apples = float(np.mean(apple_counts))
     log(f'collected {len(buffer)} episodes with the LEARNED policy, '
