@@ -120,6 +120,7 @@ class VideoDecoderNetwork(nn.Module):
     slot_spatial_mix: bool = False
     num_spatial_tokens: int | None = None
     use_flash_attention: bool = False
+    use_fused_small: bool | None = None  # see AxialSpaceTimeTransformer.use_fused_small
     time_attention_use_pope: bool = False
     space_attention_use_pope: bool = False
     moss_layers: tuple = ()
@@ -159,6 +160,7 @@ class VideoDecoderNetwork(nn.Module):
             special_attend_only_itself=True,  # latents attend only to themselves
             full_spatial_attn=self.full_spatial_attn,
             use_flash_attention=self.use_flash_attention,
+            use_fused_small=self.use_fused_small,
             time_attention_use_pope=self.time_attention_use_pope,
             space_attention_use_pope=self.space_attention_use_pope,
             space_height=(self.image_height // self.patch_size
@@ -294,6 +296,7 @@ class VideoTokenizer(nn.Module):
     latent_sigreg_num_slices: int = 256
     latent_consistency_loss_weight: float = 0.0
     use_flash_attention: bool = False
+    use_fused_small: bool | None = None  # see AxialSpaceTimeTransformer.use_fused_small
     time_attention_use_pope: bool = False
     space_attention_use_pope: bool = False
     encoder_moss_layers: tuple = ()
@@ -374,6 +377,7 @@ class VideoTokenizer(nn.Module):
             full_spatial_attn=self.encoder_full_spatial_attn,
             final_norm=True,
             use_flash_attention=self.use_flash_attention,
+            use_fused_small=self.use_fused_small,
             time_attention_use_pope=self.time_attention_use_pope,
             space_attention_use_pope=self.space_attention_use_pope,
             space_height=self.image_height // p,
@@ -413,6 +417,7 @@ class VideoTokenizer(nn.Module):
             slot_spatial_mix=self.decoder_slot_spatial_mix,
             num_spatial_tokens=(self.image_height // p) * (self.image_width // p),
             use_flash_attention=self.use_flash_attention,
+            use_fused_small=self.use_fused_small,
             time_attention_use_pope=self.time_attention_use_pope,
             space_attention_use_pope=self.space_attention_use_pope,
             moss_layers=tuple(self.decoder_moss_layers),

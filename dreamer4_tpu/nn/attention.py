@@ -85,6 +85,10 @@ class Attention(nn.Module):
     # projections' natural (B, n, h, dh) layout end-to-end — no per-head
     # relayout copies, scores never touch HBM
     use_fused_small: bool = False
+    # efficiency cap for the small kernel: past this many flattened rows
+    # (n*heads) its h-fold redundant score FLOPs outweigh the layout-copy
+    # savings (nh=640 tokenizer space attention measured slower in r4)
+    small_max_nh: int = 512
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -127,8 +131,17 @@ class Attention(nn.Module):
             # must be a jit CONSTANT (ops/masks.py returns numpy for static
             # configs; traced masks — cached decode — use the generic path)
             and (mask is None or (isinstance(mask, np.ndarray) and mask.ndim == 2))
-            and tokens.shape[-2] * self.heads <= 2048
         )
+        if use_small:
+            # VMEM- and efficiency-aware shape gate (round 4's fixed
+            # n*h <= 2048 cap admitted nh=688, which OOMed scoped vmem in
+            # the kernel backward at the 250M scale)
+            from ..ops.small_attention import small_attention_viable
+
+            itemsize = jnp.dtype(self.dtype or tokens.dtype).itemsize
+            use_small = small_attention_viable(
+                tokens.shape[0], tokens.shape[-2], self.heads, self.dim_head,
+                itemsize=itemsize, max_nh=self.small_max_nh)
         if use_small:
             return self._small_path(tokens, normed_inputs, mask, rotary,
                                     residual_values)

@@ -123,11 +123,49 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, dq_ref, dk_ref, dv_ref,
             preferred_element_type=jnp.float32).astype(dv_ref.dtype)
 
 
-def _pick_rows(batch: int) -> int:
+# Scoped-VMEM budget for one program's live set. The chip limit is ~16 MB;
+# leave headroom for Mosaic's own buffers (the round-4 big250M backward was
+# rejected at 18.14 MB with an 8-row unrolled loop at nh=688 — see
+# estimate_vmem_bytes, which reproduces that number to ~5%).
+VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def estimate_vmem_bytes(nh: int, dh: int, rows: int, itemsize: int = 2) -> int:
+    """Scoped-VMEM footprint of one backward program: the (nh, nh) f32 bias,
+    one live (nh, nh) f32 score/prob pipeline buffer per unrolled row, and
+    ~6 (nh, dh) operand blocks (q/k/v/do + dq/dk/dv) per row. Validated
+    against the compiler's rejection of rows=8, nh=688, dh=64 bf16
+    (estimate 19.1 MB vs reported 18.14 MB)."""
+    bias = 4 * nh * nh
+    scores = rows * 4 * nh * nh
+    operands = rows * nh * dh * itemsize * 6
+    return bias + scores + operands
+
+
+def _pick_rows(batch: int, nh: int, dh: int, itemsize: int = 2) -> int:
+    """Largest per-program row count that divides the batch AND keeps the
+    estimated scoped-VMEM footprint under budget (the round-4 kernel used a
+    fixed 8 and OOMed scoped vmem at nh=688)."""
     for r in (8, 4, 2):
-        if batch % r == 0:
+        if batch % r == 0 and estimate_vmem_bytes(nh, dh, r, itemsize) <= VMEM_BUDGET_BYTES:
             return r
     return 1
+
+
+def small_attention_viable(batch: int, n: int, heads: int, dim_head: int,
+                           itemsize: int = 2, max_nh: int = 512) -> bool:
+    """Static gate for the fused small-attention path.
+
+    Bounds BOTH failure modes found in round 4:
+    - VMEM: even at rows=1 the footprint must fit the scoped budget;
+    - efficiency: the kernel pays h-fold redundant score FLOPs, so past
+      `max_nh` flattened rows the redundancy outweighs the layout-copy
+      savings (tokenizer-scale space attention, nh=640, measured slower).
+    """
+    nh = n * heads
+    if nh > max_nh:
+        return False
+    return estimate_vmem_bytes(nh, dim_head, 1, itemsize) <= VMEM_BUDGET_BYTES
 
 
 def _fwd_host(q, k, v, bias, *, scale, softclamp, interpret):
@@ -136,7 +174,7 @@ def _fwd_host(q, k, v, bias, *, scale, softclamp, interpret):
     # materialized 2.3x-sized HBM copies around every call and made the
     # kernel perf-neutral (measured).
     B, NH, D = q.shape
-    rows = _pick_rows(B)
+    rows = _pick_rows(B, NH, D, q.dtype.itemsize)
     spec = pl.BlockSpec((rows, NH, D), lambda g: (g, 0, 0))
     return pl.pallas_call(
         functools.partial(_fwd_kernel, rows=rows, scale=scale, softclamp=softclamp),
@@ -152,7 +190,7 @@ def _fwd_host(q, k, v, bias, *, scale, softclamp, interpret):
 
 def _bwd_host(q, k, v, do, bias, *, scale, softclamp, interpret):
     B, NH, D = q.shape
-    rows = _pick_rows(B)
+    rows = _pick_rows(B, NH, D, q.dtype.itemsize)
     spec = pl.BlockSpec((rows, NH, D), lambda g: (g, 0, 0))
     shp = jax.ShapeDtypeStruct((B, NH, D), q.dtype)
     return pl.pallas_call(

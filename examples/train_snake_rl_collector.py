@@ -67,6 +67,10 @@ class SnakeVectorAdapter:
         # with shaped rewards the episode return no longer equals the
         # apple count, so the gate reads this instead
         self.finished_apples: list[int] = []
+        # per-env apple count of the episode that last finished in that
+        # slot (row-aligned with the interactor's batch rows, unlike the
+        # completion-ordered list above)
+        self.last_episode_apples = np.zeros((n_envs,), np.int64)
 
     @property
     def dim_state(self):
@@ -110,6 +114,7 @@ class SnakeVectorAdapter:
             truncated[i] = trunc
             if (term or trunc) and not self._done[i]:
                 self.finished_apples.append(int(info['apples']))
+                self.last_episode_apples[i] = int(info['apples'])
             self._done[i] |= term or trunc
         self._snap()
         return {'state': self._state()}, rewards, terminated, truncated, {}
@@ -221,14 +226,20 @@ def main(argv=None):
             if it % 10 == 0:
                 log(f'[rl] iter {it}: apples/episode (last {len(window)}) '
                     f'avg {avg:.2f}, best {best}')
+            # reference semantics: the FIRST episode ever to reach
+            # target_apples passes (train_snake_ppo.py:117-118) — a running
+            # max over every finished episode, not over the rolling window
+            # (an iteration can finish >window episodes, evicting a
+            # qualifying one before the check)
+            best_ever = max(env.finished_apples) if env.finished_apples else 0
+            if args.gate == 'episode' and best_ever >= args.target_apples:
+                log(f'[rl] GATE REACHED at iteration {it}: an episode ate '
+                    f'{best_ever} apples >= {args.target_apples} (reference '
+                    f'semantics, train_snake_ppo.py:117-118; window avg '
+                    f'{avg:.2f})')
+                solved = True
+                break
             if len(window) >= args.window:
-                if args.gate == 'episode' and best >= args.target_apples:
-                    log(f'[rl] GATE REACHED at iteration {it}: an episode ate '
-                        f'{best} apples >= {args.target_apples} (reference '
-                        f'semantics, train_snake_ppo.py:117-118; window avg '
-                        f'{avg:.2f})')
-                    solved = True
-                    break
                 if args.gate == 'window-avg' and avg >= args.target_apples:
                     log(f'[rl] GATE REACHED at iteration {it}: window avg '
                         f'{avg:.2f} >= {args.target_apples}')
@@ -284,7 +295,10 @@ def main(argv=None):
                         terminated=bool(terminals[row]) and t == n - 1,
                         discrete_actions=int(acts[row, t, 0]))
             collected += 1
-            apple_counts.append(float((rews[row, :n] >= args.apple_reward - 1e-6).sum()))
+            # apples from the env's exact counter (row-aligned), not from
+            # thresholding shaped rewards (which breaks when the shaping
+            # flags are zeroed, e.g. --apple-reward 0)
+            apple_counts.append(float(record_env.last_episode_apples[row]))
 
     mean_apples = float(np.mean(apple_counts))
     log(f'collected {len(buffer)} episodes with the LEARNED policy, '
