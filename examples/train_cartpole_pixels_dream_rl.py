@@ -545,7 +545,12 @@ def main(argv=None):
     wm_dir = work / 'wm_ckpt'
     if (wm_dir / 'config.json').exists():
         model, frozen_vars = load_model(wm_dir, DynamicsWorldModel)
-        log(f'[wm] loaded checkpoint from {wm_dir}')
+        # RL-phase hyperparameters live on the model config but must track
+        # the FLAGS, not the checkpoint: --entropy-weight on a resumed run
+        # was silently ignored (the round-4 entropy-collapse debug loop)
+        model = model.clone(policy_entropy_weight=args.entropy_weight)
+        log(f'[wm] loaded checkpoint from {wm_dir} '
+            f'(entropy weight {args.entropy_weight})')
     else:
         variables = init_wm_variables(model, args.seed)
         base_tx = muon_adam_atan2(learning_rate=args.wm_lr, clip_grad_norm=1.0)
