@@ -198,23 +198,59 @@ def param_count(variables):
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(variables['params']))
 
 
-def analytic_generate_flops(model, n_params, batch):
+def attn_pool_extra_flops_per_token(depth, time_block_every, rnn_time=False,
+                                    dim=512, pool_heads=4, pool_dim_head=64):
+    """FLOPs per token per FORWARD that the 2*P/token approximation misses
+    in the per-layer attention pools: pool i projects k/v over its whole
+    prefix stack of L_i layer hiddens, so its k/v params are applied L_i
+    times per token (2*P counts them once), plus the score/output einsums
+    (activation-activation work, absent from 2*P entirely). Mirrors the
+    append schedule of AxialSpaceTimeTransformer (2 hiddens per layer, +1
+    on RNN time layers, pools after every non-last layer + a final pool)."""
+    hd = pool_heads * pool_dim_head
+    is_time = [(i + 1) % time_block_every == 0 for i in range(depth)]
+    L, total = 1, 0.0
+    for i, lt in enumerate(is_time):
+        L += 2 + (1 if (lt and rnn_time) else 0)
+        is_last = i == depth - 1
+        if not is_last:
+            total += (L - 1) * dim * (2 * hd) * 2 + L * hd * 4
+    total += (L - 1) * dim * (2 * hd) * 2 + L * hd * 4   # final pool
+    return total
+
+
+def _model_pool_extra(model):
+    return attn_pool_extra_flops_per_token(
+        model.depth, model.time_block_every, rnn_time=model.use_time_rnn,
+        dim=model.dim) if model.use_attn_pool else 0.0
+
+
+def analytic_generate_flops(model, n_params, batch, exact=False):
     """2*P FLOPs per token per forward; each frame runs NUM_STEPS denoise
     forwards + 1 clean pass over tokens_per_frame tokens. XLA's
     cost_analysis undercounts lax.while_loop/scan trip counts, so the
     MFU reported from it is a lower bound only — this analytic count is the
     honest denominator-side estimate (attention FLOPs, small at these
-    lengths, are excluded)."""
+    lengths, are excluded). With exact=True the attention pools' prefix-
+    stack k/v reads are counted at their true L_i multiplicity (see
+    attn_pool_extra_flops_per_token) — 2*P understates the model's real
+    work by ~30% at depth 8."""
+    per_token = 2.0 * n_params + (_model_pool_extra(model) if exact else 0.0)
     tokens = model.tokens_per_frame * batch * TIME_STEPS
-    return 2.0 * n_params * tokens * (NUM_STEPS + 1)
+    return per_token * tokens * (NUM_STEPS + 1)
 
 
-def analytic_train_flops(model, n_params, batch, t, shortcut=False):
+def analytic_train_flops(model, n_params, batch, t, shortcut=False, exact=False):
     """fwd + bwd ~= 3x forward cost => 6*P per token; a shortcut step adds
     two stop-gradient half-step forwards => 10*P per token (the recipe runs
-    shortcut on ~5/6 of steps: prob = 1 - 1/log2(max_steps))."""
-    per_token = 10.0 if shortcut else 6.0
-    return per_token * n_params * model.tokens_per_frame * batch * t
+    shortcut on ~5/6 of steps: prob = 1 - 1/log2(max_steps)). exact=True
+    adds the pools' true prefix-stack multiplicity (x3 for fwd+bwd, x1 per
+    stop-gradient forward)."""
+    fwds = 5.0 if shortcut else 3.0          # in units of forward cost
+    per_token = (10.0 if shortcut else 6.0) * n_params
+    if exact:
+        per_token += fwds * _model_pool_extra(model)
+    return per_token * model.tokens_per_frame * batch * t
 
 
 def init_on_cpu(model, tx=None, seed=0):
@@ -338,7 +374,10 @@ def main():
         entry = {'env_steps_per_s': round(steps_per_s, 1),
                  'ms_per_rollout': round(per * 1e3, 2),
                  'mfu_pct': round(100 * analytic_generate_flops(model, n_params, batch)
-                                  / per / V5E_BF16_PEAK_FLOPS, 2)}
+                                  / per / V5E_BF16_PEAK_FLOPS, 2),
+                 'mfu_pct_exact': round(
+                     100 * analytic_generate_flops(model, n_params, batch, exact=True)
+                     / per / V5E_BF16_PEAK_FLOPS, 2)}
         if flops:
             entry['mfu_pct_xla_lower_bound'] = round(100 * flops / per / V5E_BF16_PEAK_FLOPS, 2)
         extra[f'generate_batch{batch}_T{TIME_STEPS}'] = entry
@@ -378,7 +417,10 @@ def main():
             'env_steps_per_s': round(HEADLINE_BATCH * TIME_STEPS / per, 1),
             'ms_per_rollout': round(per * 1e3, 2),
             'mfu_pct': round(100 * analytic_generate_flops(model, n_params, HEADLINE_BATCH)
-                             / per / V5E_BF16_PEAK_FLOPS, 2)}
+                             / per / V5E_BF16_PEAK_FLOPS, 2),
+            'mfu_pct_exact': round(
+                100 * analytic_generate_flops(model, n_params, HEADLINE_BATCH, exact=True)
+                / per / V5E_BF16_PEAK_FLOPS, 2)}
     except Exception as e:
         log(f'arg-weights generate bench failed: {_exc_str(e)}')
 
@@ -435,7 +477,10 @@ def main():
         entry = {'ms_per_step': round(per * 1e3, 2),
                  'frames_per_s': round(TRAIN_BATCH * TRAIN_T / per, 1),
                  'mfu_pct': round(100 * analytic_train_flops(model, n_params, TRAIN_BATCH, TRAIN_T)
-                                  / per / V5E_BF16_PEAK_FLOPS, 2)}
+                                  / per / V5E_BF16_PEAK_FLOPS, 2),
+                 'mfu_pct_exact': round(
+                     100 * analytic_train_flops(model, n_params, TRAIN_BATCH, TRAIN_T, exact=True)
+                     / per / V5E_BF16_PEAK_FLOPS, 2)}
         if flops:
             entry['mfu_pct_xla_lower_bound'] = round(100 * flops / per / V5E_BF16_PEAK_FLOPS, 2)
         extra[f'train_step_b{TRAIN_BATCH}_T{TRAIN_T}'] = entry
@@ -451,6 +496,10 @@ def main():
             'mfu_pct': round(
                 100 * analytic_train_flops(model, n_params, TRAIN_BATCH, TRAIN_T,
                                            shortcut=True)
+                / per / V5E_BF16_PEAK_FLOPS, 2),
+            'mfu_pct_exact': round(
+                100 * analytic_train_flops(model, n_params, TRAIN_BATCH, TRAIN_T,
+                                           shortcut=True, exact=True)
                 / per / V5E_BF16_PEAK_FLOPS, 2)}
     except Exception as e:
         log(f'train-step bench failed: {_exc_str(e)}')
@@ -514,10 +563,20 @@ def main():
         # clears the ~30 ms fetch-latency noise floor
         per, _ = timed_scan(encode, (tok_vars, video), 'tokenizer encode',
                             iters=ITERS * 10)
+        # exact accounting: the encoder/decoder transformers run attention
+        # pools whose prefix-stack k/v reads 2*P misses (same correction as
+        # attn_pool_extra_flops_per_token on the world model)
+        enc_pool = attn_pool_extra_flops_per_token(
+            tok.encoder_depth, tok.time_block_every, dim=tok.dim)
+        dec_pool = attn_pool_extra_flops_per_token(
+            tok.decoder_depth, tok.time_block_every, dim=tok.dim)
         extra[f'tokenizer_encode_b{tb}_T{tt}'] = {
             'ms': round(per * 1e3, 2), 'frames_per_s': round(tb * tt / per, 1),
             'mfu_pct': round(100 * (2.0 * n_tok_enc * tok_tokens * tb * tt)
-                             / per / V5E_BF16_PEAK_FLOPS, 2)}
+                             / per / V5E_BF16_PEAK_FLOPS, 2),
+            'mfu_pct_exact': round(
+                100 * ((2.0 * n_tok_enc + enc_pool) * tok_tokens * tb * tt)
+                / per / V5E_BF16_PEAK_FLOPS, 2)}
 
         def decode(v, vid, key):
             vid = vid + jax.random.uniform(key, (), minval=0.0, maxval=1e-6)
@@ -528,9 +587,12 @@ def main():
         per, _ = timed_scan(decode, (tok_vars, video), 'tokenizer encode+decode',
                             iters=ITERS)
         ed_flops = 2.0 * (n_tok_enc + tok.decoder_flow_steps * n_tok_dec) * tok_tokens * tb * tt
+        ed_flops_exact = ed_flops + (
+            enc_pool + tok.decoder_flow_steps * dec_pool) * tok_tokens * tb * tt
         extra[f'tokenizer_encode_decode_b{tb}_T{tt}'] = {
             'ms': round(per * 1e3, 2), 'frames_per_s': round(tb * tt / per, 1),
-            'mfu_pct': round(100 * ed_flops / per / V5E_BF16_PEAK_FLOPS, 2)}
+            'mfu_pct': round(100 * ed_flops / per / V5E_BF16_PEAK_FLOPS, 2),
+            'mfu_pct_exact': round(100 * ed_flops_exact / per / V5E_BF16_PEAK_FLOPS, 2)}
         tok_assets = (tok, tok_vars, video, tb, tt, n_tok_enc, n_tok_dec, tok_tokens)
     except Exception as e:
         log(f'tokenizer bench failed: {_exc_str(e)}')
@@ -573,10 +635,18 @@ def main():
         # one training step = masked encode + one decode_step, fwd+bwd (3x):
         # 6*(P_enc + P_dec) per token (flow training draws ONE decoder step)
         tok_train_flops = 6.0 * (n_tok_enc + n_tok_dec) * tok_tokens * tb * tt
+        enc_pool = attn_pool_extra_flops_per_token(
+            tok.encoder_depth, tok.time_block_every, dim=tok.dim)
+        dec_pool = attn_pool_extra_flops_per_token(
+            tok.decoder_depth, tok.time_block_every, dim=tok.dim)
+        tok_train_flops_exact = tok_train_flops + 3.0 * (
+            enc_pool + dec_pool) * tok_tokens * tb * tt
         extra[f'tokenizer_train_step_b{tb}_T{tt}'] = {
             'ms_per_step': round(per * 1e3, 2),
             'frames_per_s': round(tb * tt / per, 1),
-            'mfu_pct': round(100 * tok_train_flops / per / V5E_BF16_PEAK_FLOPS, 2)}
+            'mfu_pct': round(100 * tok_train_flops / per / V5E_BF16_PEAK_FLOPS, 2),
+            'mfu_pct_exact': round(
+                100 * tok_train_flops_exact / per / V5E_BF16_PEAK_FLOPS, 2)}
     except Exception as e:
         log(f'tokenizer train bench failed: {_exc_str(e)}')
 
@@ -591,7 +661,10 @@ def main():
         entry = {'ms_per_step': round(per * 1e3, 2),
                  'frames_per_s': round(LONGSEQ_BATCH * LONGSEQ_T / per, 1),
                  'mfu_pct': round(100 * analytic_train_flops(model, n_params, LONGSEQ_BATCH, LONGSEQ_T)
-                                  / per / V5E_BF16_PEAK_FLOPS, 2)}
+                                  / per / V5E_BF16_PEAK_FLOPS, 2),
+                 'mfu_pct_exact': round(
+                     100 * analytic_train_flops(model, n_params, LONGSEQ_BATCH, LONGSEQ_T, exact=True)
+                     / per / V5E_BF16_PEAK_FLOPS, 2)}
         if flops:
             entry['mfu_pct_xla_lower_bound'] = round(100 * flops / per / V5E_BF16_PEAK_FLOPS, 2)
         extra[f'train_step_b{LONGSEQ_BATCH}_T{LONGSEQ_T}'] = entry
@@ -651,7 +724,10 @@ def main():
                 'env_steps_per_s': round(HEADLINE_BATCH * TIME_STEPS / per, 1),
                 'ms_per_rollout': round(per * 1e3, 2),
                 'mfu_pct': round(100 * analytic_generate_flops(big, big_n, HEADLINE_BATCH)
-                                 / per / V5E_BF16_PEAK_FLOPS, 2)}
+                                 / per / V5E_BF16_PEAK_FLOPS, 2),
+                'mfu_pct_exact': round(
+                    100 * analytic_generate_flops(big, big_n, HEADLINE_BATCH, exact=True)
+                    / per / V5E_BF16_PEAK_FLOPS, 2)}
 
             if _skip_low_budget('big-model train bench', 420):
                 raise TimeoutError('budget')  # keeps the generate entry above
@@ -689,7 +765,10 @@ def main():
                 'ms_per_step': round(per * 1e3, 2),
                 'frames_per_s': round(bb * bt / per, 1),
                 'mfu_pct': round(100 * analytic_train_flops(big, big_n, bb, bt)
-                                 / per / V5E_BF16_PEAK_FLOPS, 2)}
+                                 / per / V5E_BF16_PEAK_FLOPS, 2),
+                'mfu_pct_exact': round(
+                    100 * analytic_train_flops(big, big_n, bb, bt, exact=True)
+                    / per / V5E_BF16_PEAK_FLOPS, 2)}
         except Exception as e:
             log(f'big-model bench failed: {_exc_str(e)}')
 

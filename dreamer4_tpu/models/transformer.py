@@ -330,14 +330,31 @@ class AxialSpaceTimeTransformer(nn.Module):
 
         layer_hiddens = [tokens]
         # pools re-normalize every hidden; compute the (unscaled) rms
-        # normalization once per hidden here and share it across all pools
-        # (each pool folds its own norm_context scale into its weights)
-        normed_hiddens = [rms_normalize(tokens)] if self.use_attn_pool else None
+        # normalization once per hidden and write it ONCE into a shared
+        # preallocated (L_max, b*t*s, d) buffer that every pool slices a
+        # static prefix of. The previous per-pool `jnp.stack(list)` copied
+        # hidden i into every downstream pool's stack (sum_i L_i ~ 82 stack
+        # copies + their backward relayouts dominated the shortcut step's
+        # pool overhead; profiled round 5). Each pool still folds its own
+        # norm_context scale into its projection weights.
+        normed_stack = None
+        n_stacked = 0
+        if self.use_attn_pool:
+            n_appends = 1 + sum(
+                2 + (1 if (lt and self.rnn_time) else 0)
+                for lt in self.is_time_layer)
+            normed_stack = jnp.zeros((n_appends, b * t * s, d), dtype=tokens.dtype)
+            normed_stack = normed_stack.at[0].set(
+                rms_normalize(tokens).reshape(-1, d))
+            n_stacked = 1
 
         def append_hidden(tok):
+            nonlocal normed_stack, n_stacked
             layer_hiddens.append(tok)
             if self.use_attn_pool:
-                normed_hiddens.append(rms_normalize(tok))
+                normed_stack = normed_stack.at[n_stacked].set(
+                    rms_normalize(tok).reshape(-1, d))
+                n_stacked += 1
 
         time_layer_idx = 0
         for i, layer_is_time in enumerate(self.is_time_layer):
@@ -492,7 +509,7 @@ class AxialSpaceTimeTransformer(nn.Module):
             # `dreamer4.py:2870-2878`)
             if self.use_attn_pool and not is_last:
                 tokens = tokens + AttentionPool(self.dim, dtype=self.dtype, name=f'attn_pool_{i}')(
-                    tokens, layer_hiddens, normed_hiddens=normed_hiddens
+                    tokens, layer_hiddens, normed_hiddens=normed_stack[:n_stacked]
                 )
 
         # final cross-attend: special tokens read the spatial tokens once
@@ -522,7 +539,7 @@ class AxialSpaceTimeTransformer(nn.Module):
 
         if self.use_attn_pool:
             tokens = tokens + AttentionPool(self.dim, dtype=self.dtype, name='final_attn_pool')(
-                tokens, layer_hiddens, normed_hiddens=normed_hiddens
+                tokens, layer_hiddens, normed_hiddens=normed_stack[:n_stacked]
             )
 
         if self.final_norm:

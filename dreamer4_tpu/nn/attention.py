@@ -421,8 +421,11 @@ class _StreamingPoolAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, normed_hiddens):
-        # x: (B, d) residual stream; normed_hiddens: list of (B, d),
-        # pre-normalized with `rms_normalize` (unscaled)
+        # x: (B, d) residual stream; normed_hiddens: pre-normalized
+        # (`rms_normalize`, unscaled) hiddens — either a list of (B, d)
+        # or an already-stacked (L, B, d) array (the trunk passes a shared
+        # preallocated buffer so hidden i is written ONCE instead of
+        # re-stacked by every downstream pool; see AxialSpaceTimeTransformer)
         from ..ops.utils import softclamp
 
         d, h, dh = self.dim, self.heads, self.dim_head
@@ -446,7 +449,8 @@ class _StreamingPoolAttention(nn.Module):
         w_v = cscale * w_v.astype(cdt)
         gamma = _Gamma(h, dh, name='k_norm')()
 
-        n = jnp.stack(normed_hiddens)                     # (L, B, d)
+        n = (normed_hiddens if isinstance(normed_hiddens, jax.Array)
+             else jnp.stack(normed_hiddens))              # (L, B, d)
         # ONE fused matmul for k and v: the (L, B, d) hidden stack is the
         # dominant HBM traffic of the pools (each pool re-reads its whole
         # prefix stack) — concatenating the folded weights halves the stack
@@ -496,12 +500,15 @@ class AttentionPool(nn.Module):
     def __call__(self, x, hiddens, normed_hiddens=None):
         # x: (..., d); hiddens: list of (..., d) with identical shapes.
         # Callers that hold many pools (the trunk) pass `normed_hiddens`
-        # (rms_normalize applied once per hidden, shared across pools);
+        # pre-normalized — as a stacked (L, flat, d) array (preferred: one
+        # write per hidden instead of one stack copy per pool) or a list;
         # otherwise it is computed here.
         lead_shape = x.shape[:-1]
         flat = lambda t: t.reshape(-1, t.shape[-1])
         if normed_hiddens is None:
             normed_hiddens = [rms_normalize(h) for h in hiddens]
+        if not isinstance(normed_hiddens, jax.Array):
+            normed_hiddens = [flat(h) for h in normed_hiddens]
         pool_cls = _StreamingPoolAttention
         if x[..., 0].size >= self.remat_min_tokens:
             pool_cls = nn.remat(pool_cls)
@@ -511,7 +518,7 @@ class AttentionPool(nn.Module):
             dim_head=self.dim_head,
             dtype=self.dtype,
             name='attn',
-        )(flat(x), [flat(h) for h in normed_hiddens])
+        )(flat(x), normed_hiddens)
         return out.reshape(*lead_shape, x.shape[-1])
 
 

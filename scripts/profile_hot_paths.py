@@ -104,7 +104,8 @@ def summarize_trace(trace_dir: str, top: int = 35):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--what', choices=('generate', 'train', 'both'), default='both')
+    p.add_argument('--what', choices=('generate', 'train', 'both', 'shortcut',
+                                      'decode16'), default='both')
     p.add_argument('--batch', type=int, default=256)
     p.add_argument('--train-batch', type=int, default=8)
     p.add_argument('--train-time', type=int, default=32)
@@ -122,6 +123,46 @@ def main():
     model = build_model()
     tx = muon_adam_atan2(learning_rate=3e-4, clip_grad_norm=1.0)
     variables, opt_state = init_on_cpu(model, tx)
+
+    if args.what == 'decode16':
+        # the HEADLINE path: b16 baked bf16 serving weights (bench.py decode)
+        from dreamer4_tpu.ops.utils import cast_params_for_inference
+        serve = cast_params_for_inference(variables, jnp.bfloat16)
+        roll = jax.jit(lambda key: jnp.sum(generate(
+            model, serve, key, time_steps=16, num_steps=4,
+            batch_size=16).latents))
+        print('warmup:', float(roll(jax.random.PRNGKey(0))), flush=True)
+        d = os.path.join(args.out, 'decode16')
+        jax.profiler.start_trace(d)
+        t0 = time.perf_counter()
+        val = float(roll(jax.random.PRNGKey(1)))
+        wall = time.perf_counter() - t0
+        jax.profiler.stop_trace()
+        print(f'== decode16 baked: wall {wall*1e3:.1f} ms (val {val:.1f})', flush=True)
+        summarize_trace(d, top=45)
+
+    if args.what == 'shortcut':
+        ts = TrainState(params=variables['params'], state=variables.get('state', {}),
+                        opt_state=opt_state, ema_params=None,
+                        step=jnp.zeros((), jnp.int32))
+        step = make_world_model_train_step(model, tx)
+        tb, tt = args.train_batch, args.train_time
+        batch = jax.device_put(dict(
+            latents=jax.random.normal(jax.random.PRNGKey(2), (tb, tt, 16, 32)) * 0.5,
+            rewards=jnp.zeros((tb, tt)),
+            discrete_actions=jnp.zeros((tb, tt, 1), jnp.int32)), jax.devices()[0])
+        ts, loss, _ = step(ts, batch, jax.random.PRNGKey(3), shortcut_train=True)
+        print('warmup loss:', float(loss), flush=True)
+        d = os.path.join(args.out, 'shortcut')
+        jax.profiler.start_trace(d)
+        t0 = time.perf_counter()
+        ts, loss, _ = step(ts, batch, jax.random.PRNGKey(4), shortcut_train=True)
+        loss = float(loss)
+        wall = time.perf_counter() - t0
+        jax.profiler.stop_trace()
+        print(f'== SHORTCUT train step b{tb} T{tt}: wall {wall*1e3:.1f} ms (loss {loss:.3f})',
+              flush=True)
+        summarize_trace(d, top=45)
 
     if args.what in ('generate', 'both'):
         roll = jax.jit(lambda v, key: jnp.sum(generate(

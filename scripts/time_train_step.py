@@ -25,6 +25,10 @@ def main():
     p.add_argument('--cpu', action='store_true')
     p.add_argument('--flash-min', type=int, default=None,
                    help='override flash_min_scores (q_len*k_len gate)')
+    p.add_argument('--no-attn-pool', action='store_true',
+                   help='ablate the per-layer attention pools')
+    p.add_argument('--fused-small', action='store_true',
+                   help='opt in to the small-attention kernel')
     args = p.parse_args()
 
     import jax
@@ -41,6 +45,10 @@ def main():
     from dreamer4_tpu.train.trainers import TrainState, make_world_model_train_step
 
     overrides = {} if args.flash_min is None else dict(flash_min_scores=args.flash_min)
+    if args.no_attn_pool:
+        overrides['use_attn_pool'] = False
+    if args.fused_small:
+        overrides['use_fused_small'] = True
     model = build_model(**overrides)
     tx = muon_adam_atan2(learning_rate=3e-4, clip_grad_norm=1.0)
     variables, opt_state = init_on_cpu(model, tx)
