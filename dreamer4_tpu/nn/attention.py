@@ -417,6 +417,13 @@ class _StreamingPoolAttention(nn.Module):
     heads: int
     dim_head: int
     softclamp_value: float | None = 50.0
+    # measured dead end (round 5): a per-hidden streaming branch for
+    # decode-shaped calls (row reads, no prefix-stack materialization)
+    # ran the b16 rollout at 59.1 ms vs 53.1 ms for the stacked wide
+    # matmul under identical load — the wide form wins at BOTH decode and
+    # train shapes with the shared-norm/folded-scale layout. stream_max_
+    # tokens is kept only for the branch-parity test.
+    stream_max_tokens: int = 0
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -448,23 +455,45 @@ class _StreamingPoolAttention(nn.Module):
         w_k = cscale * w_k.astype(cdt)
         w_v = cscale * w_v.astype(cdt)
         gamma = _Gamma(h, dh, name='k_norm')()
+        gamma_scale = ((gamma + 1.0) * dh ** 0.5).astype(cdt)
 
-        n = (normed_hiddens if isinstance(normed_hiddens, jax.Array)
-             else jnp.stack(normed_hiddens))              # (L, B, d)
-        # ONE fused matmul for k and v: the (L, B, d) hidden stack is the
-        # dominant HBM traffic of the pools (each pool re-reads its whole
-        # prefix stack) — concatenating the folded weights halves the stack
-        # reads in both the forward and the dn backward
-        kv = (n @ jnp.concatenate([w_k, w_v], axis=-1))   # (L, B, 2*h*dh)
-        k, v = jnp.split(kv, 2, axis=-1)
-        k = k.reshape(*n.shape[:2], h, dh)                # (L, B, h, dh)
-        v = v.reshape(*n.shape[:2], h, dh)
-        # MultiHeadRMSNorm, batched over (L, B): f32 statistic only, apply in
-        # the stream dtype (see rms_normalize — keeps the k projection's
-        # output bf16 instead of a convert-fused f32 write)
-        kf = k.astype(jnp.float32)
-        inv = jax.lax.rsqrt(jnp.sum(jnp.square(kf), axis=-1, keepdims=True) + 1e-12)
-        k = k * inv.astype(cdt) * ((gamma + 1.0) * dh ** 0.5).astype(cdt)
+        is_stacked = isinstance(normed_hiddens, jax.Array)
+        n_tokens = x.shape[0]
+
+        if n_tokens <= self.stream_max_tokens:
+            # decode-shaped: hidden-by-hidden projections — row reads of the
+            # shared buffer, no contiguous prefix-stack copy, every
+            # intermediate (B, h*dh)
+            rows = (list(normed_hiddens) if is_stacked
+                    else normed_hiddens)
+            ks, vs = [], []
+            for c in rows:
+                c = c.astype(cdt)
+                ki = (c @ w_k).reshape(-1, h, dh)
+                kf = ki.astype(jnp.float32)
+                inv = jax.lax.rsqrt(
+                    jnp.sum(jnp.square(kf), axis=-1, keepdims=True) + 1e-12)
+                ks.append(ki * inv.astype(cdt) * gamma_scale)
+                vs.append((c @ w_v).reshape(-1, h, dh))
+            k = jnp.stack(ks)                             # (L, B, h, dh)
+            v = jnp.stack(vs)
+        else:
+            n = (normed_hiddens if is_stacked
+                 else jnp.stack(normed_hiddens))          # (L, B, d)
+            # ONE fused matmul for k and v: the (L, B, d) hidden stack is the
+            # dominant HBM traffic of the pools (each pool re-reads its whole
+            # prefix stack) — concatenating the folded weights halves the
+            # stack reads in both the forward and the dn backward
+            kv = (n @ jnp.concatenate([w_k, w_v], axis=-1))  # (L, B, 2*h*dh)
+            k, v = jnp.split(kv, 2, axis=-1)
+            k = k.reshape(*n.shape[:2], h, dh)            # (L, B, h, dh)
+            v = v.reshape(*n.shape[:2], h, dh)
+            # MultiHeadRMSNorm, batched over (L, B): f32 statistic only,
+            # apply in the stream dtype (see rms_normalize — keeps the k
+            # projection's output bf16 instead of a convert-fused f32 write)
+            kf = k.astype(jnp.float32)
+            inv = jax.lax.rsqrt(jnp.sum(jnp.square(kf), axis=-1, keepdims=True) + 1e-12)
+            k = k * inv.astype(cdt) * gamma_scale
 
         scale = dh ** -0.5
         # scores and softmax in f32, matching naive_attend

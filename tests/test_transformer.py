@@ -191,3 +191,33 @@ def test_attention_pool_matches_stacked_attention():
     out_ref = attn.apply({'params': vs['params']['attn']},
                          x.reshape(-1, 1, 64), context=ctx).out.reshape(x.shape)
     assert jnp.allclose(out_pool, out_ref, atol=1e-5)
+
+
+def test_pool_streaming_matches_stacked_branch():
+    """_StreamingPoolAttention's decode branch (per-hidden projections) and
+    train branch (stacked wide matmul) are the same math on the same params;
+    both must also accept list and stacked inputs."""
+    import numpy as np
+
+    from dreamer4_tpu.nn.attention import (_StreamingPoolAttention,
+                                           rms_normalize)
+
+    B, d, L = 24, 32, 5
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, d))
+    hiddens = [jax.random.normal(jax.random.PRNGKey(i + 1), (B, d))
+               for i in range(L)]
+    normed = [rms_normalize(h) for h in hiddens]
+    stacked = jnp.stack(normed)
+
+    stream = _StreamingPoolAttention(dim=d, heads=2, dim_head=8,
+                                     stream_max_tokens=10_000)
+    wide = _StreamingPoolAttention(dim=d, heads=2, dim_head=8,
+                                   stream_max_tokens=0)
+    params = stream.init(jax.random.PRNGKey(9), x, normed)
+    outs = [stream.apply(params, x, normed),
+            stream.apply(params, x, stacked),
+            wide.apply(params, x, normed),
+            wide.apply(params, x, stacked)]
+    for o in outs[1:]:
+        np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(o),
+                                   atol=2e-5, rtol=1e-4)
