@@ -480,14 +480,16 @@ class _StreamingPoolAttention(nn.Module):
         else:
             n = (normed_hiddens if is_stacked
                  else jnp.stack(normed_hiddens))          # (L, B, d)
-            # ONE fused matmul for k and v: the (L, B, d) hidden stack is the
-            # dominant HBM traffic of the pools (each pool re-reads its whole
-            # prefix stack) — concatenating the folded weights halves the
-            # stack reads in both the forward and the dn backward
-            kv = (n @ jnp.concatenate([w_k, w_v], axis=-1))  # (L, B, 2*h*dh)
-            k, v = jnp.split(kv, 2, axis=-1)
-            k = k.reshape(*n.shape[:2], h, dh)            # (L, B, h, dh)
-            v = v.reshape(*n.shape[:2], h, dh)
+            # SEPARATE k and v matmuls. The round-4 form concatenated the
+            # folded weights into one (d, 2*h*dh) GEMM to "halve the stack
+            # reads" — but the weight concat does not constant-fold even
+            # under baked serving weights, leaving a runtime concat + output
+            # split in every pool call. Bisected as the round-4 decode
+            # regression's root cause: splitting recovers the b16 rollout
+            # 53.5 -> 49.8 ms and is also neutral-to-faster for training
+            # (shortcut 67.7 -> 64.4 ms, plain 44.2 -> 43.9 ms).
+            k = (n @ w_k).reshape(*n.shape[:2], h, dh)    # (L, B, h, dh)
+            v = (n @ w_v).reshape(*n.shape[:2], h, dh)
             # MultiHeadRMSNorm, batched over (L, B): f32 statistic only,
             # apply in the stream dtype (see rms_normalize — keeps the k
             # projection's output bf16 instead of a convert-fused f32 write)
