@@ -324,9 +324,11 @@ def timed_scan(fn, args, label, iters=ITERS, want_flops=False):
 
 
 def main():
-    jax.config.update('jax_compilation_cache_dir',
-                      '/tmp/jax_cache' if FORCE_CPU else '/tmp/jax_cache_tpu')
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    if not FORCE_CPU:
+        # TPU-only: XLA:CPU AOT cache entries fail their own machine-feature
+        # check on reload and leak LLVM memory (see perf notes, known-bad)
+        jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     from dreamer4_tpu.models.generate import generate
     from dreamer4_tpu.train.optim import muon_adam_atan2

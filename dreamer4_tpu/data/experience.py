@@ -71,6 +71,45 @@ def index_experience(exp: Experience, idx) -> Experience:
     return jax.tree_util.tree_map(lambda x: x[idx], exp)
 
 
+def pad_experience_time(exp: Experience, length: int) -> Experience:
+    """Zero-pad every time-indexed leaf to a FIXED `length` (time axis 1;
+    `video` at axis 2) and normalize `lens`/`is_truncated` so the padding is
+    masked out downstream.
+
+    Jitted consumers (SimTrainer's RL/world-model update steps) call this so
+    env rollouts of any episode length hit ONE compiled program. Without it,
+    every distinct longest-episode-in-batch length recompiles the update
+    step — measured on CPU: ~20 s per recompile plus ~3.2k LLVM-JIT mmaps
+    that are never unmapped, so a CartPole SimTrainer run dies on
+    vm.max_map_count (ENOMEM in the LLVM execution engine) after ~20
+    iterations. The reference never hits this because PyTorch is not traced
+    by shape; under XLA the static pad is the idiomatic form (masking via
+    `lens` is already how every loss handles ragged episodes).
+    """
+    t = exp.time_steps
+    if t > length:
+        raise ValueError(f'experience time dim {t} exceeds pad length {length}')
+    b = exp.batch_size
+    if exp.lens is None:
+        exp = exp.replace(lens=jnp.full((b,), t))
+    if exp.is_truncated is None:
+        exp = exp.replace(is_truncated=jnp.ones((b,), bool))
+    if t == length:
+        return exp
+
+    video, exp = exp.video, exp.replace(video=None)
+
+    def pad_leaf(x):
+        if not isinstance(x, (jax.Array, np.ndarray)) or x.ndim < 2:
+            return x
+        return _pad_to(x, length, axis=1)
+
+    exp = jax.tree.map(pad_leaf, exp)
+    if video is not None:
+        exp = exp.replace(video=_pad_to(video, length, axis=2))
+    return exp
+
+
 def combine_experiences(exps: list[Experience]) -> Experience:
     """Pad time dims to the max then concatenate along batch (reference
     `combine_experiences`, `dreamer4.py:248-309`)."""

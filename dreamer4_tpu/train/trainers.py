@@ -396,7 +396,7 @@ class SimTrainer:
         return {'params': self.rl_state.params, 'state': self.state_collection}
 
     def step(self, key):
-        from ..data.experience import combine_experiences
+        from ..data.experience import combine_experiences, pad_experience_time
 
         exps = []
         for r in range(self.num_rollouts_per_step):
@@ -406,6 +406,11 @@ class SimTrainer:
                 num_steps=self.num_steps, max_timesteps=self.max_timesteps)
             exps.append(exp)
         experience = combine_experiences(exps) if len(exps) > 1 else exps[0]
+        # Static time dim: the interactor trims to this batch's longest
+        # episode, which would recompile _update/_wm_step on every new
+        # length (and leak LLVM-JIT mmaps until ENOMEM — see
+        # pad_experience_time). The +1 covers the truncation-bootstrap frame.
+        experience = pad_experience_time(experience, self.max_timesteps + 1)
 
         # interleaved dynamics learning on the fresh experience
         if self.train_dynamics and experience.time_steps > 1:

@@ -79,8 +79,11 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update('jax_platforms', 'cpu')
-    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    else:
+        # TPU-only: XLA:CPU AOT cache entries fail their own machine-feature
+        # check on reload and leak LLVM memory (see perf notes, known-bad)
+        jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     import jax.numpy as jnp
     import optax

@@ -240,13 +240,18 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update('jax_platforms', 'cpu')
-    # a machine-local cache, NOT the shared /tmp/jax_cache_tpu: loading CPU
-    # AOT entries compiled on a different machine type fails per-entry and
-    # leaks LLVM section memory until the process aborts (observed: crash
-    # after ~20 minutes of env phases)
-    jax.config.update('jax_compilation_cache_dir',
-                      str(Path(args.workdir).parent / 'jax_cache_local'))
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    # No persistent compilation cache for CPU-forced runs: XLA:CPU AOT
+    # entries fail the host-feature check even on the machine that wrote
+    # them (the compile feature string carries pseudo-features like
+    # +prefer-no-scatter that never appear in the host feature list), and
+    # every failed per-entry load leaks LLVM section memory until the
+    # process aborts (observed: crash after ~20 minutes of env phases).
+    # TPU executables have no such check, so accelerator stages keep a
+    # machine-local cache to make stage restarts cheap.
+    if not args.cpu:
+        jax.config.update('jax_compilation_cache_dir',
+                          str(Path(args.workdir).parent / 'jax_cache_local'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     import jax.numpy as jnp
     import optax

@@ -168,8 +168,10 @@ def main(argv=None):
     import jax
 
     jax.config.update('jax_platforms', 'cpu')  # env interaction is host-bound
-    jax.config.update('jax_compilation_cache_dir', '/root/runs/jax_cache_local')
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    # NO persistent compilation cache here: XLA:CPU AOT entries fail their
+    # own machine-feature check on reload (+prefer-no-scatter pseudo-
+    # features) and each failed load leaks LLVM section memory — see
+    # docs/tpu_performance_notes.md "known-bad ideas".
 
     import jax.numpy as jnp
 

@@ -95,6 +95,29 @@ def test_sim_trainer_online_loop():
     assert len(returns) == 2
     assert all(np.isfinite(returns))
 
+def test_sim_trainer_static_update_shapes():
+    """Variable-length env episodes must hit ONE compiled update program:
+    SimTrainer pads every rollout to max_timesteps+1 (pad_experience_time)
+    before the jitted RL/world-model steps. Without the pad, each new
+    longest-episode-in-batch length retraces the update (~20 s on CPU) and
+    leaks LLVM-JIT mmaps until the process dies on vm.max_map_count —
+    observed killing the CartPole expert phase after ~20 iterations."""
+    model = make_wm(dim_state=4, dim_critic_state=4)
+    variables = init_wm(model)
+    # terminate_prob 0.05/step across batch 4 -> the longest episode varies
+    # from trainer-step to trainer-step
+    env = MockStateEnv(dim_state=4, num_actions=3, max_steps=7, batch=4, seed=3)
+    trainer = SimTrainer(model, variables, env, max_timesteps=7, num_steps=2,
+                         update_epochs=1)
+    seen_t = set()
+    for i in range(4):
+        experience, _ = trainer.step(jax.random.fold_in(jax.random.PRNGKey(0), i))
+        seen_t.add(experience.time_steps)
+    assert seen_t == {8}, f'expected static padded time dim 8, saw {seen_t}'
+    # the jitted update traced exactly once across all episode lengths
+    assert trainer._update._cache_size() == 1
+
+
 def test_sim_trainer_minibatched_epochs():
     """reference-style minibatched PPO epochs (trainers.py:1529-1539):
     each epoch shuffles rows and updates per fixed-size minibatch."""
