@@ -354,6 +354,11 @@ def main(argv=None):
                     rets.extend(np.asarray(exp.episode_return).tolist())
                 return float(np.mean(rets))
 
+            # PPO on CartPole oscillates (windows can swing 30..85 between
+            # iterations), so "params at the stop iteration" is an arbitrary
+            # draw. Keep the BEST held-out-evaluated policy seen and save
+            # that — the dataset quality bounds everything downstream.
+            best_ev, best_params = -np.inf, None
             returns: list[float] = []
             for it in range(args.expert_iterations):
                 experience, _ = sim.step(jax.random.fold_in(key, it))
@@ -365,10 +370,18 @@ def main(argv=None):
                 if len(window) >= 20 and avg >= args.expert_target:
                     ev = held_out_eval(sim.variables, it)
                     log(f'[expert] window {avg:.1f} at iter {it}; held-out '
-                        f'eval {ev:.1f} (target {args.expert_target})')
+                        f'eval {ev:.1f} (target {args.expert_target}, '
+                        f'best so far {best_ev:.1f})')
+                    if ev > best_ev:
+                        best_ev = ev
+                        best_params = jax.tree.map(np.asarray, sim.variables)
                     if ev >= args.expert_target:
                         break
-            expert_variables = sim.variables
+            if best_params is not None:
+                log(f'[expert] using best held-out policy ({best_ev:.1f})')
+                expert_variables = jax.tree.map(jnp.asarray, best_params)
+            else:
+                expert_variables = sim.variables
             save_model(expert_dir, expert_model, expert_variables)
             log(f'[expert] saved checkpoint to {expert_dir}')
     if args.stop_after == 'expert':
