@@ -183,6 +183,11 @@ def main(argv=None):
     # phase 5
     p.add_argument('--wm-steps', type=int, default=4000)
     p.add_argument('--wm-lr', type=float, default=3e-4)
+    p.add_argument('--terminal-pos-weight', type=float, default=30.0)
+    p.add_argument('--latched-terminal-frames', type=int, default=6,
+                   help='post-termination latched frames (fallen pole, '
+                        'reward 0) included in WM training; see the wm_lens '
+                        'comment')
     # phase 6 (the proven offline dream-RL hyperparameters)
     p.add_argument('--dream-updates', type=int, default=3000)
     p.add_argument('--dream-batch', type=int, default=128)
@@ -299,6 +304,12 @@ def main(argv=None):
             multi_token_pred_len=4, num_register_tokens=4,
             dim_state=None, dim_critic_state=None, predict_terminals=True,
             add_action_embed_to_spatial=True,
+            # ~1/positive-rate: without it the terminal head converges to
+            # the base rate (p_term 0.033 at TRUE terminal frames), dreams
+            # never fail, the dream value saturates at the horizon ceiling,
+            # and the policy plateaus at ~35 real return (measured; see
+            # terminal_pos_weight in models/world_model.py)
+            terminal_pos_weight=args.terminal_pos_weight,
             policy_entropy_weight=args.entropy_weight,
             keep_reward_ema_stats=True,
             reward_range=(-args.max_timesteps * 1.2, args.max_timesteps * 1.2))
@@ -457,6 +468,24 @@ def main(argv=None):
         f'mean len {all_lens.mean():.1f}, frames '
         f'{sum(int(l) for l in all_lens)}')
 
+    # WM-training lens: include the latched POST-termination frames. The env
+    # adapter latches a finished env's render, so frames[lens..] show the
+    # fallen pole with reward 0 — but with lens as-is every loss masks them
+    # out, and the world model learns "+1 reward forever" from episodes
+    # whose every VISIBLE frame paid +1. Dreams then pay out the full
+    # horizon for any policy (measured: dream value saturated at the
+    # 25-step ceiling for good and bad policies alike, real eval stuck at
+    # ~35). Extending terminated episodes by a few latched frames teaches
+    # the reward head fallen->0 and the flow model that fallen is
+    # absorbing, which is what makes imagined failure costly. Prompting and
+    # tokenizer clips keep the ORIGINAL lens (don't start dreams inside a
+    # fallen state).
+    for it in items:
+        avail = int(it['lens'].max()) + 1          # snaps recorded per row
+        ext = np.minimum(it['lens'] + args.latched_terminal_frames,
+                         min(avail, T_fixed))
+        it['wm_lens'] = np.where(it['terminals'], ext, it['lens'])
+
     rng = np.random.default_rng(args.seed)
 
     # --------------------------------------------- 3. tokenizer (accel)
@@ -566,9 +595,11 @@ def main(argv=None):
         # RL-phase hyperparameters live on the model config but must track
         # the FLAGS, not the checkpoint: --entropy-weight on a resumed run
         # was silently ignored (the round-4 entropy-collapse debug loop)
-        model = model.clone(policy_entropy_weight=args.entropy_weight)
+        model = model.clone(policy_entropy_weight=args.entropy_weight,
+                            terminal_pos_weight=args.terminal_pos_weight)
         log(f'[wm] loaded checkpoint from {wm_dir} '
-            f'(entropy weight {args.entropy_weight})')
+            f'(entropy weight {args.entropy_weight}, terminal pos weight '
+            f'{args.terminal_pos_weight})')
     else:
         variables = init_wm_variables(model, args.seed)
         base_tx = muon_adam_atan2(learning_rate=args.wm_lr, clip_grad_norm=1.0)
@@ -588,7 +619,7 @@ def main(argv=None):
                         rewards=jnp.asarray(it['rewards']),
                         terminals=jnp.asarray(it['terminals']),
                         discrete_actions=jnp.asarray(it['discrete_actions']),
-                        lens=jnp.asarray(it['lens']))
+                        lens=jnp.asarray(it['wm_lens']))
 
         wm_key = jax.random.PRNGKey(args.seed + 7)
         for step in range(args.wm_steps):
@@ -735,11 +766,13 @@ def main(argv=None):
         def sample_ft_batch():
             pool = fresh_items if rng.random() < 0.5 else items
             it = pool[rng.integers(len(pool))]
+            # fresh (interactor-collected) items have no latched frames ->
+            # no 'wm_lens'; fall back to lens
             return dict(latents=jnp.asarray(it['latents']),
                         rewards=jnp.asarray(it['rewards']),
                         terminals=jnp.asarray(it['terminals']),
                         discrete_actions=jnp.asarray(it['discrete_actions']),
-                        lens=jnp.asarray(it['lens']))
+                        lens=jnp.asarray(it.get('wm_lens', it['lens'])))
 
         ft_key = jax.random.PRNGKey(args.seed + 900 + rnd)
         for step in range(args.online_wm_steps):
